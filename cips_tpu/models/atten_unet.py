@@ -1,0 +1,168 @@
+"""AttenUNet — the T1->PET conditional generator.
+
+TPU-native re-design of the reference's main synthesis model
+(`unet/utils/atten_unet_model.py:1575-1860`, built by
+`unet/scripts/train_unet.py:61-70` from `unet/config/training.json`):
+a 3-D UNet whose coarse levels run cross-attention between flattened voxel
+tokens and the tabular causal-covariate vector. No timestep embedding — the
+reference strips the diffusion-time path from its forward.
+
+Constructor keywords match the reference JSON config schema so
+`AttenUNet(**cfg["atten_unet_def"], cross_attention_dim=n)` works verbatim.
+Activations are channels-last (N, D, H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cips_tpu.models.blocks import (
+    DownBlock,
+    GroupNorm,
+    MidBlock,
+    UpBlock,
+    attention_mode,
+    conv,
+)
+
+
+def _tuplify(v, n: int) -> Tuple:
+    if isinstance(v, (int, float, bool)):
+        return (v,) * n
+    return tuple(v)
+
+
+class AttenUNet(nn.Module):
+    spatial_dims: int = 3
+    in_channels: int = 1
+    out_channels: int = 1
+    num_res_blocks: Sequence[int] | int = (2, 2, 2, 2)
+    num_channels: Sequence[int] = (32, 64, 64, 64)
+    attention_levels: Sequence[bool] = (False, False, True, True)
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    resblock_updown: bool = False
+    num_head_channels: Sequence[int] | int = 8
+    with_conditioning: bool = False
+    transformer_num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    num_class_embeds: Optional[int] = None
+    upcast_attention: bool = False
+    use_flash_attention: bool = False  # accepted for config parity; Pallas dispatch is automatic
+    dropout_cattn: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        n = len(self.num_channels)
+        if self.with_conditioning and self.cross_attention_dim is None:
+            raise ValueError("with_conditioning=True requires cross_attention_dim")
+        if self.cross_attention_dim is not None and not self.with_conditioning:
+            raise ValueError("cross_attention_dim requires with_conditioning=True")
+        if any(c % self.norm_num_groups for c in self.num_channels):
+            raise ValueError("all num_channels must be multiples of norm_num_groups")
+        if len(self.attention_levels) != n:
+            raise ValueError("attention_levels must match num_channels length")
+        self._res_blocks = _tuplify(self.num_res_blocks, n)
+        self._head_channels = _tuplify(self.num_head_channels, n)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        down_block_additional_residuals: Optional[Sequence[jax.Array]] = None,
+        mid_block_additional_residual: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if context is not None and not self.with_conditioning:
+            raise ValueError("context requires with_conditioning=True")
+        n = len(self.num_channels)
+        res_blocks = _tuplify(self.num_res_blocks, n)
+        head_channels = _tuplify(self.num_head_channels, n)
+
+        h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
+
+        # down path — collect skip residuals, starting with the stem output
+        # (reference: atten_unet_model.py:1822-1829)
+        residuals = [h]
+        for i in range(n):
+            is_final = i == n - 1
+            h, outs = DownBlock(
+                spatial_dims=self.spatial_dims,
+                out_channels=self.num_channels[i],
+                num_res_blocks=res_blocks[i],
+                norm_num_groups=self.norm_num_groups,
+                norm_eps=self.norm_eps,
+                add_downsample=not is_final,
+                resblock_updown=self.resblock_updown,
+                attention_mode=attention_mode(self.attention_levels[i], self.with_conditioning),
+                num_head_channels=head_channels[i],
+                transformer_num_layers=self.transformer_num_layers,
+                cross_attention_dim=self.cross_attention_dim,
+                upcast_attention=self.upcast_attention,
+                dropout_cattn=self.dropout_cattn,
+                dtype=self.dtype,
+                name=f"down_{i}",
+            )(h, context=context, deterministic=deterministic)
+            residuals.extend(outs)
+
+        # ControlNet-style additional residual hooks (reference :1832-1847)
+        if down_block_additional_residuals is not None:
+            residuals = [r + extra for r, extra in zip(residuals, down_block_additional_residuals)]
+
+        h = MidBlock(
+            spatial_dims=self.spatial_dims,
+            in_channels=self.num_channels[-1],
+            norm_num_groups=self.norm_num_groups,
+            norm_eps=self.norm_eps,
+            with_conditioning=self.with_conditioning,
+            num_head_channels=head_channels[-1],
+            transformer_num_layers=self.transformer_num_layers,
+            cross_attention_dim=self.cross_attention_dim,
+            upcast_attention=self.upcast_attention,
+            dropout_cattn=self.dropout_cattn,
+            dtype=self.dtype,
+            name="mid",
+        )(h, context=context, deterministic=deterministic)
+
+        if mid_block_additional_residual is not None:
+            h = h + mid_block_additional_residual
+
+        # up path — each block consumes (num_res_blocks + 1) skip residuals
+        # (reference :1744-1771, :1851-1855)
+        rev_channels = list(reversed(self.num_channels))
+        rev_res = list(reversed(res_blocks))
+        rev_attn = list(reversed(self.attention_levels))
+        rev_heads = list(reversed(head_channels))
+        for i in range(n):
+            is_final = i == n - 1
+            take = rev_res[i] + 1
+            skips, residuals = residuals[-take:], residuals[:-take]
+            h = UpBlock(
+                spatial_dims=self.spatial_dims,
+                out_channels=rev_channels[i],
+                num_res_blocks=take,
+                norm_num_groups=self.norm_num_groups,
+                norm_eps=self.norm_eps,
+                add_upsample=not is_final,
+                resblock_updown=self.resblock_updown,
+                attention_mode=attention_mode(rev_attn[i], self.with_conditioning),
+                num_head_channels=rev_heads[i],
+                transformer_num_layers=self.transformer_num_layers,
+                cross_attention_dim=self.cross_attention_dim,
+                upcast_attention=self.upcast_attention,
+                dropout_cattn=self.dropout_cattn,
+                dtype=self.dtype,
+                name=f"up_{i}",
+            )(h, skips, context=context, deterministic=deterministic)
+
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
+        h = nn.silu(h)
+        h = conv(
+            self.out_channels, 3, 1, self.spatial_dims, zero_init=True, dtype=self.dtype, name="conv_out"
+        )(h)
+        return h

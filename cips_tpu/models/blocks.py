@@ -1,0 +1,661 @@
+"""Building blocks of the attention-UNet model family, TPU-native.
+
+Functional flax.linen re-design of the block zoo the reference vendors in
+`unet/utils/atten_unet_model.py` (MONAI-generative lineage): ResnetBlock,
+Up/Downsample, AttentionBlock, CrossAttention, SpatialTransformer and the
+Down/Mid/Up block factories. Semantics (normalisation placement, zero-init
+output convolutions, skip wiring, head counts) follow the reference; the
+implementation is new and channels-last — activations are (N, *spatial, C)
+so XLA keeps convolutions and the flattened voxel-token attention in its
+native TPU layout.
+
+Reference anchors (for parity checking, /root/reference):
+  ResnetBlock        unet/utils/atten_unet_model.py:565-662
+  Down/Upsample      unet/utils/atten_unet_model.py:464-562
+  AttentionBlock     unet/utils/atten_unet_model.py:346-459
+  CrossAttention     unet/utils/atten_unet_model.py:65-175
+  SpatialTransformer unet/utils/atten_unet_model.py:238-343
+  Down/Mid/Up blocks unet/utils/atten_unet_model.py:665-1409
+  factories          unet/utils/atten_unet_model.py:1412-1572
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cips_tpu.ops.attention import merge_heads, multi_head_attention, split_heads
+
+Dtype = jnp.dtype
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def heads_for(channels: int, num_head_channels: int | None) -> tuple[int, int]:
+    """(num_heads, head_dim) for a channel count and per-head width.
+
+    The reference divides `channels // num_head_channels` unchecked
+    (atten_unet_model.py:372, :925); zero / non-dividing / oversized head
+    widths fall back to a single head here.
+    """
+    if not num_head_channels or num_head_channels <= 0 or num_head_channels > channels:
+        return 1, channels
+    if channels % num_head_channels:
+        return 1, channels
+    return channels // num_head_channels, num_head_channels
+
+
+def nearest_upsample_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour x2 upsampling over all spatial dims of (N, *S, C)."""
+    for axis in range(1, x.ndim - 1):
+        x = jnp.repeat(x, 2, axis=axis)
+    return x
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x average pooling over all spatial dims of (N, *S, C)."""
+    ndim = x.ndim - 2
+    window = (2,) * ndim
+    return nn.avg_pool(x, window_shape=window, strides=window)
+
+
+class GroupNorm(nn.Module):
+    """Group normalisation computed in fp32 regardless of activation dtype.
+
+    The reference runs fp32 end-to-end; under bf16 compute we keep the
+    moment computation in fp32 (the variance of bf16 activations is the one
+    numerically fragile spot, see SURVEY.md §7 "hard parts") and cast back.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        x = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return x.astype(orig_dtype)
+
+
+def conv(
+    features: int,
+    kernel: int = 3,
+    stride: int = 1,
+    spatial_dims: int = 3,
+    zero_init: bool = False,
+    name: Optional[str] = None,
+    dtype: Dtype = jnp.float32,
+) -> nn.Conv:
+    """'same'-style convolution matching the reference's Convolution usage.
+
+    kernel k with padding (k-1)//2 on both sides — identical output sizes to
+    torch Conv3d(k, stride, padding=(k-1)//2) for the even volumes used here.
+    Zero-init reproduces the reference's `zero_module` output convs
+    (atten_unet_model.py:56-62), which stabilise early GAN training.
+    """
+    pad = (kernel - 1) // 2
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel,) * spatial_dims,
+        strides=(stride,) * spatial_dims,
+        padding=[(pad, pad)] * spatial_dims,
+        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv (use_conv) or 2x average-pool downsampling."""
+
+    spatial_dims: int
+    use_conv: bool
+    out_channels: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_conv:
+            features = self.out_channels or x.shape[-1]
+            return conv(features, 3, 2, self.spatial_dims, dtype=self.dtype, name="op")(x)
+        return avg_pool_2x(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 upsampling with optional 3x3 conv."""
+
+    spatial_dims: int
+    use_conv: bool
+    out_channels: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nearest_upsample_2x(x)
+        if self.use_conv:
+            features = self.out_channels or x.shape[-1]
+            x = conv(features, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class ResnetBlock(nn.Module):
+    """GN -> SiLU -> (up/down) -> conv -> GN -> SiLU -> zero-conv, + skip.
+
+    Mirrors atten_unet_model.py:565-662 with the timestep path stripped (the
+    reference never feeds one — AttenUNet.forward takes no timesteps).
+    """
+
+    spatial_dims: int
+    out_channels: Optional[int] = None
+    up: bool = False
+    down: bool = False
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm1")(x)
+        h = nn.silu(h)
+
+        if self.up:
+            x = nearest_upsample_2x(x)
+            h = nearest_upsample_2x(h)
+        elif self.down:
+            x = avg_pool_2x(x)
+            h = avg_pool_2x(h)
+
+        h = conv(out_ch, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm2")(h)
+        h = nn.silu(h)
+        h = conv(out_ch, 3, 1, self.spatial_dims, zero_init=True, dtype=self.dtype, name="conv2")(h)
+
+        if out_ch != in_ch:
+            x = conv(out_ch, 1, 1, self.spatial_dims, dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+class CrossAttention(nn.Module):
+    """Multi-head (cross-)attention over token sequences (B, L, C).
+
+    Context defaults to self-attention; a 2-D (B, C_ctx) context is promoted
+    to a length-1 sequence as in the reference (atten_unet_model.py:110-112).
+    """
+
+    query_dim: int
+    cross_attention_dim: Optional[int] = None
+    num_attention_heads: int = 8
+    num_head_channels: int = 64
+    dropout: float = 0.0
+    upcast_attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        inner_dim = self.num_head_channels * self.num_attention_heads
+
+        def dense(features, use_bias, name):
+            return nn.Dense(
+                features,
+                use_bias=use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=name,
+            )
+
+        ctx = x if context is None else context
+        if ctx.ndim == 2:
+            ctx = ctx[:, None, :]
+
+        q = dense(inner_dim, False, "to_q")(x)
+        k = dense(inner_dim, False, "to_k")(ctx)
+        v = dense(inner_dim, False, "to_v")(ctx)
+
+        q = split_heads(q, self.num_attention_heads)
+        k = split_heads(k, self.num_attention_heads)
+        v = split_heads(v, self.num_attention_heads)
+
+        out = multi_head_attention(
+            q, k, v, scale=1.0 / (self.num_head_channels**0.5), upcast=self.upcast_attention
+        )
+        out = merge_heads(out)
+        out = dense(self.query_dim, True, "to_out")(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP: Linear -> (x, gate) -> x * gelu(gate) -> Linear.
+
+    Matches MONAI MLPBlock(act="GEGLU", mlp_dim=4*C) used by the reference's
+    BasicTransformerBlock (atten_unet_model.py:212).
+    """
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        hidden = self.dim * self.mult
+        h = nn.Dense(hidden * 2, dtype=self.dtype, param_dtype=jnp.float32, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Pre-LN self-attn -> cross-attn -> GEGLU MLP with residuals."""
+
+    num_channels: int
+    num_attention_heads: int
+    num_head_channels: int
+    dropout: float = 0.0
+    cross_attention_dim: Optional[int] = None
+    upcast_attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        def ln(name):
+            return nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+
+        attn_kwargs = dict(
+            query_dim=self.num_channels,
+            num_attention_heads=self.num_attention_heads,
+            num_head_channels=self.num_head_channels,
+            dropout=self.dropout,
+            upcast_attention=self.upcast_attention,
+            dtype=self.dtype,
+        )
+        x = CrossAttention(name="attn1", **attn_kwargs)(
+            ln("norm1")(x).astype(x.dtype), deterministic=deterministic
+        ) + x
+        x = CrossAttention(
+            name="attn2", cross_attention_dim=self.cross_attention_dim, **attn_kwargs
+        )(ln("norm2")(x).astype(x.dtype), context=context, deterministic=deterministic) + x
+        x = GEGLUFeedForward(
+            self.num_channels, dropout=self.dropout, dtype=self.dtype, name="ff"
+        )(ln("norm3")(x).astype(x.dtype), deterministic=deterministic) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> 1x1 proj -> flatten voxels to tokens -> N transformer blocks -> 1x1 zero-proj + residual."""
+
+    spatial_dims: int
+    in_channels: int
+    num_attention_heads: int
+    num_head_channels: int
+    num_layers: int = 1
+    dropout: float = 0.0
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    cross_attention_dim: Optional[int] = None
+    upcast_attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        residual = x
+        batch = x.shape[0]
+        spatial = x.shape[1:-1]
+        inner_dim = self.num_attention_heads * self.num_head_channels
+
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm")(x)
+        h = conv(inner_dim, 1, 1, self.spatial_dims, dtype=self.dtype, name="proj_in")(h)
+        # channels-last: flattening spatial dims to tokens is a pure reshape,
+        # no transpose needed (the reference permutes NCDHW -> tokens).
+        tokens = h.reshape(batch, -1, inner_dim)
+        for i in range(self.num_layers):
+            tokens = BasicTransformerBlock(
+                num_channels=inner_dim,
+                num_attention_heads=self.num_attention_heads,
+                num_head_channels=self.num_head_channels,
+                dropout=self.dropout,
+                cross_attention_dim=self.cross_attention_dim,
+                upcast_attention=self.upcast_attention,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(tokens, context=context, deterministic=deterministic)
+        h = tokens.reshape(batch, *spatial, inner_dim)
+        h = conv(
+            self.in_channels, 1, 1, self.spatial_dims, zero_init=True, dtype=self.dtype, name="proj_out"
+        )(h)
+        return h + residual
+
+
+class AttentionBlock(nn.Module):
+    """Pure spatial self-attention: GN, linear qkv over flattened voxels, residual."""
+
+    spatial_dims: int
+    num_channels: int
+    num_head_channels: Optional[int] = None
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        residual = x
+        batch = x.shape[0]
+        spatial = x.shape[1:-1]
+        channels = self.num_channels
+        num_heads, _ = heads_for(channels, self.num_head_channels)
+
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm")(x)
+        tokens = h.reshape(batch, -1, channels)
+
+        def dense(name):
+            return nn.Dense(channels, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+
+        q = split_heads(dense("to_q")(tokens), num_heads)
+        k = split_heads(dense("to_k")(tokens), num_heads)
+        v = split_heads(dense("to_v")(tokens), num_heads)
+        out = multi_head_attention(q, k, v, scale=1.0 / ((channels / num_heads) ** 0.5))
+        out = merge_heads(out)
+        out = dense("proj_attn")(out)
+        return out.reshape(batch, *spatial, channels) + residual
+
+
+# ---------------------------------------------------------------------------
+# UNet structural blocks
+# ---------------------------------------------------------------------------
+
+
+def _make_downsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype):
+    if resblock_updown:
+        return ResnetBlock(
+            spatial_dims=spatial_dims,
+            out_channels=out_channels,
+            down=True,
+            norm_num_groups=norm_num_groups,
+            norm_eps=norm_eps,
+            dtype=dtype,
+            name="downsampler",
+        )
+    return Downsample(
+        spatial_dims=spatial_dims, use_conv=True, out_channels=out_channels, dtype=dtype, name="downsampler"
+    )
+
+
+def _make_upsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype):
+    if resblock_updown:
+        return ResnetBlock(
+            spatial_dims=spatial_dims,
+            out_channels=out_channels,
+            up=True,
+            norm_num_groups=norm_num_groups,
+            norm_eps=norm_eps,
+            dtype=dtype,
+            name="upsampler",
+        )
+    return Upsample(
+        spatial_dims=spatial_dims, use_conv=True, out_channels=out_channels, dtype=dtype, name="upsampler"
+    )
+
+
+class DownBlock(nn.Module):
+    """Resnets (+ optional per-resnet attention) and a downsampler.
+
+    ``attention_mode``: None | 'self' | 'cross' unifies the reference's
+    DownBlock / AttnDownBlock / CrossAttnDownBlock triple. Returns the new
+    hidden state plus the list of residuals for the skip connections.
+    """
+
+    spatial_dims: int
+    out_channels: int
+    num_res_blocks: int = 1
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    add_downsample: bool = True
+    resblock_updown: bool = False
+    attention_mode: Optional[str] = None
+    num_head_channels: int = 1
+    transformer_num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    upcast_attention: bool = False
+    dropout_cattn: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        h: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        outputs = []
+        for i in range(self.num_res_blocks):
+            h = ResnetBlock(
+                spatial_dims=self.spatial_dims,
+                out_channels=self.out_channels,
+                norm_num_groups=self.norm_num_groups,
+                norm_eps=self.norm_eps,
+                dtype=self.dtype,
+                name=f"resnet_{i}",
+            )(h)
+            if self.attention_mode == "self":
+                h = AttentionBlock(
+                    spatial_dims=self.spatial_dims,
+                    num_channels=self.out_channels,
+                    num_head_channels=self.num_head_channels,
+                    norm_num_groups=self.norm_num_groups,
+                    norm_eps=self.norm_eps,
+                    dtype=self.dtype,
+                    name=f"attn_{i}",
+                )(h)
+            elif self.attention_mode == "cross":
+                n_heads, head_dim = heads_for(self.out_channels, self.num_head_channels)
+                h = SpatialTransformer(
+                    spatial_dims=self.spatial_dims,
+                    in_channels=self.out_channels,
+                    num_attention_heads=n_heads,
+                    num_head_channels=head_dim,
+                    num_layers=self.transformer_num_layers,
+                    dropout=self.dropout_cattn,
+                    norm_num_groups=self.norm_num_groups,
+                    norm_eps=self.norm_eps,
+                    cross_attention_dim=self.cross_attention_dim,
+                    upcast_attention=self.upcast_attention,
+                    dtype=self.dtype,
+                    name=f"attn_{i}",
+                )(h, context=context, deterministic=deterministic)
+            outputs.append(h)
+
+        if self.add_downsample:
+            h = _make_downsampler(
+                self.spatial_dims,
+                self.out_channels,
+                self.resblock_updown,
+                self.norm_num_groups,
+                self.norm_eps,
+                self.dtype,
+            )(h)
+            outputs.append(h)
+        return h, outputs
+
+
+class MidBlock(nn.Module):
+    """resnet -> (self|cross) attention -> resnet."""
+
+    spatial_dims: int
+    in_channels: int
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    with_conditioning: bool = False
+    num_head_channels: int = 1
+    transformer_num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    upcast_attention: bool = False
+    dropout_cattn: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        h: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        common = dict(
+            spatial_dims=self.spatial_dims,
+            out_channels=self.in_channels,
+            norm_num_groups=self.norm_num_groups,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+        )
+        h = ResnetBlock(name="resnet_1", **common)(h)
+        if self.with_conditioning:
+            n_heads, head_dim = heads_for(self.in_channels, self.num_head_channels)
+            h = SpatialTransformer(
+                spatial_dims=self.spatial_dims,
+                in_channels=self.in_channels,
+                num_attention_heads=n_heads,
+                num_head_channels=head_dim,
+                num_layers=self.transformer_num_layers,
+                dropout=self.dropout_cattn,
+                norm_num_groups=self.norm_num_groups,
+                norm_eps=self.norm_eps,
+                cross_attention_dim=self.cross_attention_dim,
+                upcast_attention=self.upcast_attention,
+                dtype=self.dtype,
+                name="attention",
+            )(h, context=context, deterministic=deterministic)
+        else:
+            h = AttentionBlock(
+                spatial_dims=self.spatial_dims,
+                num_channels=self.in_channels,
+                num_head_channels=self.num_head_channels,
+                norm_num_groups=self.norm_num_groups,
+                norm_eps=self.norm_eps,
+                dtype=self.dtype,
+                name="attention",
+            )(h)
+        h = ResnetBlock(name="resnet_2", **common)(h)
+        return h
+
+
+class UpBlock(nn.Module):
+    """Pop skip residuals, concat on channels, resnet (+ attention), upsample."""
+
+    spatial_dims: int
+    out_channels: int
+    num_res_blocks: int = 1
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    add_upsample: bool = True
+    resblock_updown: bool = False
+    attention_mode: Optional[str] = None
+    num_head_channels: int = 1
+    transformer_num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    upcast_attention: bool = False
+    dropout_cattn: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        h: jax.Array,
+        res_list: Sequence[jax.Array],
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        res_list = list(res_list)
+        for i in range(self.num_res_blocks):
+            res = res_list.pop()
+            h = jnp.concatenate([h, res], axis=-1)
+            h = ResnetBlock(
+                spatial_dims=self.spatial_dims,
+                out_channels=self.out_channels,
+                norm_num_groups=self.norm_num_groups,
+                norm_eps=self.norm_eps,
+                dtype=self.dtype,
+                name=f"resnet_{i}",
+            )(h)
+            if self.attention_mode == "self":
+                h = AttentionBlock(
+                    spatial_dims=self.spatial_dims,
+                    num_channels=self.out_channels,
+                    num_head_channels=self.num_head_channels,
+                    norm_num_groups=self.norm_num_groups,
+                    norm_eps=self.norm_eps,
+                    dtype=self.dtype,
+                    name=f"attn_{i}",
+                )(h)
+            elif self.attention_mode == "cross":
+                n_heads, head_dim = heads_for(self.out_channels, self.num_head_channels)
+                h = SpatialTransformer(
+                    spatial_dims=self.spatial_dims,
+                    in_channels=self.out_channels,
+                    num_attention_heads=n_heads,
+                    num_head_channels=head_dim,
+                    num_layers=self.transformer_num_layers,
+                    dropout=self.dropout_cattn,
+                    norm_num_groups=self.norm_num_groups,
+                    norm_eps=self.norm_eps,
+                    cross_attention_dim=self.cross_attention_dim,
+                    upcast_attention=self.upcast_attention,
+                    dtype=self.dtype,
+                    name=f"attn_{i}",
+                )(h, context=context, deterministic=deterministic)
+
+        if self.add_upsample:
+            h = _make_upsampler(
+                self.spatial_dims,
+                self.out_channels,
+                self.resblock_updown,
+                self.norm_num_groups,
+                self.norm_eps,
+                self.dtype,
+            )(h)
+        return h
+
+
+def attention_mode(level_has_attention: bool, with_conditioning: bool) -> Optional[str]:
+    """Reference block-factory selection (atten_unet_model.py:1412-1572)."""
+    if not level_has_attention:
+        return None
+    return "cross" if with_conditioning else "self"

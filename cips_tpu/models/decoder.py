@@ -1,0 +1,137 @@
+"""DiffusionModelDecoder — covariate-conditioned latent->volume decoder.
+
+Rebuild of the external `monai_diffusion.generative` `atten_decoder` used by
+the causal workload (`causal_synthesis/scripts/train_unify_causal_gen.py:116`,
+`gen_test_unify_causal.py:73`; config `configs/training_causal.json:56-74`):
+a low-resolution Gaussian latent (z channels, 1/4 resolution) is decoded to a
+full-resolution 1-channel PET volume while cross-attending to the tabular
+causal-covariate vector. The decoder-only counterpart of AttenUNet: stem ->
+conditioned mid block -> per-level resnets (+ attention per
+``attention_levels``) with upsampling between levels -> GN/SiLU/zero-conv.
+
+``num_channels`` is coarse-to-fine; len(num_channels)-1 upsamplings, so a
+3-level decoder scales x4 — composing exactly with the 3-level spatial
+DiffusionModelEncoder.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cips_tpu.models.blocks import (
+    GroupNorm,
+    MidBlock,
+    ResnetBlock,
+    SpatialTransformer,
+    Upsample,
+    conv,
+    heads_for,
+)
+
+
+def _tuplify(v, n: int) -> Tuple:
+    if isinstance(v, (int, float, bool)):
+        return (v,) * n
+    return tuple(v)
+
+
+class DiffusionModelDecoder(nn.Module):
+    spatial_dims: int = 3
+    in_channels: int = 3
+    out_channels: int = 1
+    num_res_blocks: Sequence[int] | int = 2
+    num_channels: Sequence[int] = (64, 64, 32)
+    attention_levels: Sequence[bool] = (True, False, False)
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    resblock_updown: bool = False
+    num_head_channels: Sequence[int] | int = 32
+    with_conditioning: bool = True
+    transformer_num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    upcast_attention: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        z: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if context is not None and not self.with_conditioning:
+            raise ValueError("context requires with_conditioning=True")
+        n = len(self.num_channels)
+        res_blocks = _tuplify(self.num_res_blocks, n)
+        head_channels = _tuplify(self.num_head_channels, n)
+
+        h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(z)
+
+        h = MidBlock(
+            spatial_dims=self.spatial_dims,
+            in_channels=self.num_channels[0],
+            norm_num_groups=self.norm_num_groups,
+            norm_eps=self.norm_eps,
+            with_conditioning=self.with_conditioning,
+            num_head_channels=head_channels[0],
+            transformer_num_layers=self.transformer_num_layers,
+            cross_attention_dim=self.cross_attention_dim,
+            upcast_attention=self.upcast_attention,
+            dtype=self.dtype,
+            name="mid",
+        )(h, context=context, deterministic=deterministic)
+
+        for i in range(n):
+            for j in range(res_blocks[i]):
+                h = ResnetBlock(
+                    spatial_dims=self.spatial_dims,
+                    out_channels=self.num_channels[i],
+                    norm_num_groups=self.norm_num_groups,
+                    norm_eps=self.norm_eps,
+                    dtype=self.dtype,
+                    name=f"up_{i}_resnet_{j}",
+                )(h)
+                if self.attention_levels[i] and self.with_conditioning:
+                    n_heads, head_dim = heads_for(self.num_channels[i], head_channels[i])
+                    h = SpatialTransformer(
+                        spatial_dims=self.spatial_dims,
+                        in_channels=self.num_channels[i],
+                        num_attention_heads=n_heads,
+                        num_head_channels=head_dim,
+                        num_layers=self.transformer_num_layers,
+                        norm_num_groups=self.norm_num_groups,
+                        norm_eps=self.norm_eps,
+                        cross_attention_dim=self.cross_attention_dim,
+                        upcast_attention=self.upcast_attention,
+                        dtype=self.dtype,
+                        name=f"up_{i}_attn_{j}",
+                    )(h, context=context, deterministic=deterministic)
+            if i != n - 1:
+                if self.resblock_updown:
+                    h = ResnetBlock(
+                        spatial_dims=self.spatial_dims,
+                        out_channels=self.num_channels[i],
+                        up=True,
+                        norm_num_groups=self.norm_num_groups,
+                        norm_eps=self.norm_eps,
+                        dtype=self.dtype,
+                        name=f"up_{i}_upsampler",
+                    )(h)
+                else:
+                    h = Upsample(
+                        spatial_dims=self.spatial_dims,
+                        use_conv=True,
+                        out_channels=self.num_channels[i],
+                        dtype=self.dtype,
+                        name=f"up_{i}_upsampler",
+                    )(h)
+
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
+        h = nn.silu(h)
+        return conv(
+            self.out_channels, 3, 1, self.spatial_dims, zero_init=True, dtype=self.dtype, name="conv_out"
+        )(h)

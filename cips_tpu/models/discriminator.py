@@ -1,0 +1,86 @@
+"""PatchDiscriminator — pix2pix-style 3-D PatchGAN.
+
+Rebuild of the MONAI-generative `PatchDiscriminator` every adversarial
+trainer in the reference instantiates (`unet/scripts/train_unet.py:19,74`,
+`bl_methods/BMGAN/bmgan_model.py:133-144`): `num_layers_d` stride-2 convs
+with doubling channels, InstanceNorm + LeakyReLU(0.2), then a stride-1
+conv and a 1-channel patch-logit head. Returns the list of intermediate
+feature maps with the logits last — callers take `[-1]`
+(`train_unet.py:154`).
+
+Channels-last (N, *spatial, C); InstanceNorm is per-sample GroupNorm with
+one group per channel, computed in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class _InstanceNorm(nn.Module):
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig = x.dtype
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        mean = x32.mean(axes, keepdims=True)
+        var = x32.var(axes, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return (y * scale + bias).astype(orig)
+
+
+class PatchDiscriminator(nn.Module):
+    spatial_dims: int = 3
+    num_channels: int = 64
+    in_channels: int = 1
+    out_channels: int = 1
+    num_layers_d: int = 3
+    kernel_size: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> List[jax.Array]:
+        k = self.kernel_size
+        pad = [( (k - 1) // 2, (k - 1) // 2 )] * self.spatial_dims
+
+        def conv(features, stride, name):
+            return nn.Conv(
+                features,
+                kernel_size=(k,) * self.spatial_dims,
+                strides=(stride,) * self.spatial_dims,
+                padding=pad,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=name,
+            )
+
+        features: List[jax.Array] = []
+        h = conv(self.num_channels, 2, "conv_0")(x)
+        h = nn.leaky_relu(h, 0.2)
+        features.append(h)
+
+        ch = self.num_channels
+        for i in range(1, self.num_layers_d):
+            ch = min(ch * 2, 512)
+            h = conv(ch, 2, f"conv_{i}")(h)
+            h = _InstanceNorm(name=f"norm_{i}")(h)
+            h = nn.leaky_relu(h, 0.2)
+            features.append(h)
+
+        ch = min(ch * 2, 512)
+        h = conv(ch, 1, "conv_penultimate")(h)
+        h = _InstanceNorm(name="norm_penultimate")(h)
+        h = nn.leaky_relu(h, 0.2)
+        features.append(h)
+
+        logits = conv(self.out_channels, 1, "conv_out")(h)
+        features.append(logits)
+        return features

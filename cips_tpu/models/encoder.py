@@ -1,0 +1,107 @@
+"""DiffusionModelEncoder — attention encoder for classification and causal latents.
+
+Re-design of the reference's encoder (`unet/utils/atten_unet_model.py:1863-2032`)
+which serves two roles:
+
+  * **classifier head** (`head="mlp"`): sMCI/pMCI MCI-converter classifier
+    (`pet_for_classification/train_atten_encoder_MCI.py:80-87`) — down blocks
+    at every level, flatten, Dense(512) -> ReLU -> Dropout(0.1) -> Dense(out).
+    The reference hardcodes Linear(4096, 512); we size the flatten dynamically
+    (the hardcode is a latent shape bug, SURVEY.md §7).
+  * **causal spatial latent** (`head="spatial"`): the T1 encoder of the causal
+    generator (`causal_synthesis/scripts/train_unify_causal_gen.py:213-215`)
+    emits a 2*z-channel spatial map split into (z_mu, z_sigma). Here the final
+    level does NOT downsample so a 3-level encoder yields a 1/4-resolution
+    latent that composes exactly with the 3-level decoders.
+
+The reference's timestep-embedding path is vestigial (callers pass zero
+timesteps; `get_timestep_embedding` is undefined in the vendored file,
+atten_unet_model.py:2004) and is dropped here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cips_tpu.models.blocks import DownBlock, GroupNorm, attention_mode, conv
+
+
+def _tuplify(v, n: int) -> Tuple:
+    if isinstance(v, (int, float, bool)):
+        return (v,) * n
+    return tuple(v)
+
+
+class DiffusionModelEncoder(nn.Module):
+    spatial_dims: int = 3
+    in_channels: int = 1
+    out_channels: int = 2
+    num_res_blocks: Sequence[int] | int = (2, 2, 2, 2)
+    num_channels: Sequence[int] = (32, 64, 64, 64)
+    attention_levels: Sequence[bool] = (False, False, True, True)
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    resblock_updown: bool = False
+    num_head_channels: Sequence[int] | int = 8
+    with_conditioning: bool = False
+    transformer_num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    upcast_attention: bool = False
+    head: str = "mlp"  # "mlp" -> logits (classifier) | "spatial" -> latent map (causal)
+    head_hidden: int = 512
+    head_dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if context is not None and not self.with_conditioning:
+            raise ValueError("context requires with_conditioning=True")
+        n = len(self.num_channels)
+        res_blocks = _tuplify(self.num_res_blocks, n)
+        head_channels = _tuplify(self.num_head_channels, n)
+
+        h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
+
+        for i in range(n):
+            # mlp head: downsample at every level (reference behaviour,
+            # atten_unet_model.py:1966). spatial head: keep the final level's
+            # resolution so encoder/decoder scale factors compose.
+            add_down = True if self.head == "mlp" else (i != n - 1)
+            h, _ = DownBlock(
+                spatial_dims=self.spatial_dims,
+                out_channels=self.num_channels[i],
+                num_res_blocks=res_blocks[i],
+                norm_num_groups=self.norm_num_groups,
+                norm_eps=self.norm_eps,
+                add_downsample=add_down,
+                resblock_updown=self.resblock_updown,
+                attention_mode=attention_mode(self.attention_levels[i], self.with_conditioning),
+                num_head_channels=head_channels[i],
+                transformer_num_layers=self.transformer_num_layers,
+                cross_attention_dim=self.cross_attention_dim,
+                upcast_attention=self.upcast_attention,
+                dtype=self.dtype,
+                name=f"down_{i}",
+            )(h, context=context, deterministic=deterministic)
+
+        if self.head == "spatial":
+            h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
+            h = nn.silu(h)
+            return conv(
+                self.out_channels, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_out"
+            )(h)
+
+        h = h.reshape(h.shape[0], -1)
+        h = nn.Dense(self.head_hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.head_dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
