@@ -72,11 +72,12 @@ def init_state(
     rg, rd, rp = jax.random.split(rng, 3)
     x = jnp.zeros(batch_shape, jnp.float32)
     ctx = jnp.zeros((batch_shape[0], 1, max(n_covariates, 1)), jnp.float32)
-    g_params = generator.init(rg, x, ctx)
-    d_params = discriminator.init(rd, x)
+    # jitted init: one compiled program instead of thousands of eager dispatches
+    g_params = jax.jit(generator.init)(rg, x, ctx)
+    d_params = jax.jit(discriminator.init)(rd, x)
     p_params = None
     if perceptual is not None and train_cfg.get("perceptual_weight", 0) > 0:
-        p_params = perceptual.init(rp, x, x)
+        p_params = jax.jit(perceptual.init)(rp, x, x)
     return GANState(
         g=TrainState.create(g_params, adam(train_cfg.get("base_lr", 5e-4))),
         d=TrainState.create(d_params, adam(train_cfg.get("disc_lr", 1e-4))),
