@@ -159,18 +159,30 @@ class ResNetEncoder(nn.Module):
 
 
 class BMGANDiscriminator(nn.Module):
-    """PatchDiscriminator(3, 32, 1, num_layers_d=4); returns the logit map only."""
+    """PatchDiscriminator(3, 32, 1, num_layers_d=4); returns the logit map only.
+
+    num_layers_d=4 needs input extents >= 48 voxels for a non-empty patch
+    map (4 stride-2 convs then two shrink-by-1 k4 convs) — fine at the
+    (96, 128, 96) working volume."""
 
     spatial_dims: int = 3
+    num_channels: int = 32
+    num_layers_d: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return PatchDiscriminator(
+        logits = PatchDiscriminator(
             spatial_dims=self.spatial_dims,
-            num_channels=32,
+            num_channels=self.num_channels,
             in_channels=1,
-            num_layers_d=4,
+            num_layers_d=self.num_layers_d,
             dtype=self.dtype,
             name="patch_d",
         )(x)[-1]
+        if logits.size == 0:
+            raise ValueError(
+                f"empty patch-logit map {logits.shape}: input too small for "
+                f"num_layers_d={self.num_layers_d}"
+            )
+        return logits

@@ -1,0 +1,223 @@
+"""Causal unified generator training — the paper's core model.
+
+TPU re-design of `causal_synthesis/scripts/train_unify_causal_gen.py`:
+T1 -> spatial DiffusionModelEncoder -> 2*z-channel map split into
+(z_mu, z_sigma) (:213-215); reparameterised samples feed (a) a plain VAE
+Decoder reconstructing T1 (:217-218) and (b) a DiffusionModelDecoder
+cross-attending to the covariate vector to synthesize PET (:222-224).
+Causality factorisation: anatomy lives in the KL-constrained latent;
+disease covariates enter only through cross-attention in the PET decoder.
+
+Losses (config training_causal.json:88-94; loop :240-252):
+  g_loss  = L1(PET) + 0.02*perceptual + 0.005*adv
+  t1_loss = L1(T1) + 0.001*KL(z_mu, z_sigma)   [z_sigma fed as logvar,
+            exactly as the reference's kl_divergence(z_mu, z_sigma) does]
+  one Adam over encoder + both decoders on (g_loss + t1_loss);
+  separate D step (:255-290) — here reusing the stop-gradiented fake
+  instead of a fresh encode/decode pass (saves a full E+decoder forward).
+The reference's stale-`t1_rec` eval bug (:330) is not replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cips_tpu.losses import kl_divergence, l1_loss, lsgan_discriminator_loss, patch_adversarial_loss
+from cips_tpu.models.autoencoder_kl import Decoder
+from cips_tpu.models.decoder import DiffusionModelDecoder
+from cips_tpu.models.discriminator import PatchDiscriminator
+from cips_tpu.models.encoder import DiffusionModelEncoder
+from cips_tpu.models.perceptual import PerceptualLoss
+from cips_tpu.training.common import TrainState, adam
+
+
+@struct.dataclass
+class CausalState:
+    gen: TrainState  # {"encoder": ..., "t1_decoder": ..., "pet_decoder": ...}
+    d: TrainState
+    p_params: Any
+    step: jnp.ndarray
+
+
+def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bfloat16):
+    enc_def = dict(model_cfg["t1_autoencoder_def"]["atten_encoder"])
+    enc_def["cross_attention_dim"] = max(n_covariates, 1)
+    encoder = DiffusionModelEncoder(head="spatial", dtype=dtype, **enc_def)
+
+    t1_dec_def = dict(model_cfg["t1_autoencoder_def"]["decoder"])
+    t1_decoder = Decoder(dtype=dtype, **t1_dec_def)
+
+    pet_def = dict(model_cfg["pet_decoder_def"])
+    pet_def["cross_attention_dim"] = max(n_covariates, 1)
+    pet_decoder = DiffusionModelDecoder(dtype=dtype, **pet_def)
+
+    discriminator = PatchDiscriminator(dtype=dtype, **model_cfg.get("discriminator", {}))
+    perceptual = PerceptualLoss(dtype=dtype, **model_cfg.get("perceptual_network", {}))
+    return encoder, t1_decoder, pet_decoder, discriminator, perceptual
+
+
+def init_state(
+    rng: jax.Array,
+    encoder: DiffusionModelEncoder,
+    t1_decoder: Decoder,
+    pet_decoder: DiffusionModelDecoder,
+    discriminator: PatchDiscriminator,
+    perceptual: Optional[PerceptualLoss],
+    train_cfg: Mapping[str, Any],
+    batch_shape: Tuple[int, ...],
+    n_covariates: int,
+) -> CausalState:
+    re_, rd_, rp_, rl_ = jax.random.split(rng, 4)
+    x = jnp.zeros(batch_shape, jnp.float32)
+    ctx = jnp.zeros((batch_shape[0], 1, max(n_covariates, 1)), jnp.float32)
+
+    enc_params = jax.jit(encoder.init)(re_, x)
+    latent = jax.eval_shape(lambda p, v: encoder.apply(p, v), enc_params, x)
+    z_ch = latent.shape[-1] // 2
+    z = jnp.zeros(latent.shape[:-1] + (z_ch,), jnp.float32)
+    t1_dec_params = jax.jit(t1_decoder.init)(rl_, z)
+    pet_dec_params = jax.jit(pet_decoder.init)(rd_, z, ctx)
+    d_params = jax.jit(discriminator.init)(rd_, x)
+    p_params = None
+    if perceptual is not None and train_cfg.get("perceptual_weight", 0) > 0:
+        p_params = jax.jit(perceptual.init)(rp_, x, x)
+
+    gen_params = {"encoder": enc_params, "t1_decoder": t1_dec_params, "pet_decoder": pet_dec_params}
+    return CausalState(
+        gen=TrainState.create(gen_params, adam(train_cfg.get("base_lr", 1e-4))),
+        d=TrainState.create(d_params, adam(train_cfg.get("disc_lr", 1e-3))),
+        p_params=p_params,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _split_latent(latent: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    z_ch = latent.shape[-1] // 2
+    return latent[..., :z_ch], latent[..., z_ch:]
+
+
+def make_train_step(
+    encoder: DiffusionModelEncoder,
+    t1_decoder: Decoder,
+    pet_decoder: DiffusionModelDecoder,
+    discriminator: PatchDiscriminator,
+    perceptual: Optional[PerceptualLoss],
+    train_cfg: Mapping[str, Any],
+) -> Callable:
+    pw = float(train_cfg.get("perceptual_weight", 0.02))
+    aw = float(train_cfg.get("adv_weight", 0.005))
+    kw = float(train_cfg.get("kl_weight", 0.001))
+
+    def train_step(
+        state: CausalState, batch: Mapping[str, jax.Array], rng: jax.Array
+    ) -> Tuple[CausalState, Dict]:
+        t1, pet, info = batch["t1"], batch["pet"], batch["info"]
+        r_t1, r_pet = jax.random.split(rng)
+
+        def gen_loss_fn(gen_params):
+            latent = encoder.apply(gen_params["encoder"], t1)
+            z_mu, z_sigma = _split_latent(latent)
+            eps_t1 = jax.random.normal(r_t1, z_sigma.shape, z_sigma.dtype)
+            t1_rec = t1_decoder.apply(gen_params["t1_decoder"], z_mu + eps_t1 * z_sigma)
+            eps_pet = jax.random.normal(r_pet, z_sigma.shape, z_sigma.dtype)
+            rec_pet = pet_decoder.apply(gen_params["pet_decoder"], z_mu + eps_pet * z_sigma, info)
+
+            rec_loss_pet = l1_loss(rec_pet, pet)
+            rec_loss_t1 = l1_loss(t1_rec, t1)
+            kl = kl_divergence(z_mu, z_sigma)  # z_sigma as logvar, reference :240-241
+            p = (
+                perceptual.apply(state.p_params, rec_pet, pet)
+                if (pw > 0 and state.p_params is not None)
+                else jnp.float32(0.0)
+            )
+            if aw > 0:
+                logits = discriminator.apply(state.d.params, rec_pet)[-1]
+                adv = patch_adversarial_loss(logits, target_is_real=True, for_discriminator=False)
+            else:
+                adv = jnp.float32(0.0)
+            g_loss = rec_loss_pet + pw * p + aw * adv
+            t1_loss = rec_loss_t1 + kw * kl
+            aux = {
+                "rec_pet_loss": rec_loss_pet,
+                "rec_t1_loss": rec_loss_t1,
+                "kl_loss": kl,
+                "p_loss": p,
+                "adv_loss": adv,
+                "fake": rec_pet,
+            }
+            return g_loss + t1_loss, aux
+
+        (total, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(state.gen.params)
+        new_gen = state.gen.apply_gradients(grads)
+
+        metrics = {
+            "g_loss": total,
+            "rec_pet_loss": aux["rec_pet_loss"],
+            "rec_t1_loss": aux["rec_t1_loss"],
+            "kl_loss": aux["kl_loss"],
+            "p_loss": aux["p_loss"] * pw,
+            "adv_loss": aux["adv_loss"] * aw,
+        }
+
+        if aw > 0:
+            fake = jax.lax.stop_gradient(aux["fake"])
+
+            def d_loss_fn(d_params):
+                logits_fake = discriminator.apply(d_params, fake)[-1]
+                logits_real = discriminator.apply(d_params, pet)[-1]
+                return lsgan_discriminator_loss(logits_fake, logits_real)
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d.params)
+            new_d = state.d.apply_gradients(d_grads)
+            metrics["d_loss"] = d_loss
+        else:
+            new_d = state.d
+            metrics["d_loss"] = jnp.float32(0.0)
+
+        return CausalState(gen=new_gen, d=new_d, p_params=state.p_params, step=state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(
+    encoder: DiffusionModelEncoder,
+    t1_decoder: Decoder,
+    pet_decoder: DiffusionModelDecoder,
+) -> Callable:
+    """Eval losses with fresh reconstructions (fixes the reference's stale
+    t1_rec bug, train_unify_causal_gen.py:330)."""
+
+    def eval_step(state: CausalState, batch: Mapping[str, jax.Array], rng: jax.Array) -> Dict:
+        t1, pet, info = batch["t1"], batch["pet"], batch["info"]
+        latent = encoder.apply(state.gen.params["encoder"], t1)
+        z_mu, z_sigma = _split_latent(latent)
+        eps = jax.random.normal(rng, z_sigma.shape, z_sigma.dtype)
+        t1_rec = t1_decoder.apply(state.gen.params["t1_decoder"], z_mu + eps * z_sigma)
+        rec_pet = pet_decoder.apply(state.gen.params["pet_decoder"], z_mu + eps * z_sigma, info)
+        return {
+            "rec_pet_loss": l1_loss(rec_pet, pet),
+            "rec_t1_loss": l1_loss(t1_rec, t1),
+            "fake": rec_pet,
+            "t1_rec": t1_rec,
+        }
+
+    return eval_step
+
+
+def make_generate_fn(
+    encoder: DiffusionModelEncoder, pet_decoder: DiffusionModelDecoder
+) -> Callable:
+    """Inference path (gen_test_unify_causal.py:116-127): encode T1, sample
+    the latent, decode PET conditioned on covariates."""
+
+    def generate(gen_params, batch: Mapping[str, jax.Array], rng: jax.Array) -> jax.Array:
+        latent = encoder.apply(gen_params["encoder"], batch["t1"])
+        z_mu, z_sigma = _split_latent(latent)
+        eps = jax.random.normal(rng, z_sigma.shape, z_sigma.dtype)
+        return pet_decoder.apply(gen_params["pet_decoder"], z_mu + eps * z_sigma, batch["info"])
+
+    return generate

@@ -41,7 +41,7 @@ def test_bmgan_generator_encoder_discriminator():
     mu, log_var = e.apply(ep, t1)
     assert mu.shape == (1, 8) and log_var.shape == (1, 8)
 
-    d = BMGANDiscriminator()
+    d = BMGANDiscriminator(num_layers_d=1)
     dp = d.init(jax.random.key(0), t1)
     logits = d.apply(dp, t1)
     assert logits.shape[0] == 1 and logits.shape[-1] == 1
