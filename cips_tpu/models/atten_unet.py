@@ -54,6 +54,7 @@ class AttenUNet(nn.Module):
     upcast_attention: bool = False
     use_flash_attention: bool = False  # accepted for config parity; Pallas dispatch is automatic
     dropout_cattn: float = 0.0
+    remat: bool = False  # jax.checkpoint each block: ~4x less activation HBM, ~1.3x FLOPs
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -86,12 +87,18 @@ class AttenUNet(nn.Module):
 
         h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
 
+        # remat: recompute block interiors in the backward pass; only block
+        # boundaries (the skip tensors) stay live in HBM.
+        down_cls = nn.remat(DownBlock, static_argnums=(3,)) if self.remat else DownBlock
+        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if self.remat else MidBlock
+        up_cls = nn.remat(UpBlock, static_argnums=(4,)) if self.remat else UpBlock
+
         # down path — collect skip residuals, starting with the stem output
         # (reference: atten_unet_model.py:1822-1829)
         residuals = [h]
         for i in range(n):
             is_final = i == n - 1
-            h, outs = DownBlock(
+            h, outs = down_cls(
                 spatial_dims=self.spatial_dims,
                 out_channels=self.num_channels[i],
                 num_res_blocks=res_blocks[i],
@@ -107,14 +114,14 @@ class AttenUNet(nn.Module):
                 dropout_cattn=self.dropout_cattn,
                 dtype=self.dtype,
                 name=f"down_{i}",
-            )(h, context=context, deterministic=deterministic)
+            )(h, context, deterministic)
             residuals.extend(outs)
 
         # ControlNet-style additional residual hooks (reference :1832-1847)
         if down_block_additional_residuals is not None:
             residuals = [r + extra for r, extra in zip(residuals, down_block_additional_residuals)]
 
-        h = MidBlock(
+        h = mid_cls(
             spatial_dims=self.spatial_dims,
             in_channels=self.num_channels[-1],
             norm_num_groups=self.norm_num_groups,
@@ -127,7 +134,7 @@ class AttenUNet(nn.Module):
             dropout_cattn=self.dropout_cattn,
             dtype=self.dtype,
             name="mid",
-        )(h, context=context, deterministic=deterministic)
+        )(h, context, deterministic)
 
         if mid_block_additional_residual is not None:
             h = h + mid_block_additional_residual
@@ -142,7 +149,7 @@ class AttenUNet(nn.Module):
             is_final = i == n - 1
             take = rev_res[i] + 1
             skips, residuals = residuals[-take:], residuals[:-take]
-            h = UpBlock(
+            h = up_cls(
                 spatial_dims=self.spatial_dims,
                 out_channels=rev_channels[i],
                 num_res_blocks=take,
@@ -158,7 +165,7 @@ class AttenUNet(nn.Module):
                 dropout_cattn=self.dropout_cattn,
                 dtype=self.dtype,
                 name=f"up_{i}",
-            )(h, skips, context=context, deterministic=deterministic)
+            )(h, skips, context, deterministic)
 
         h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
         h = nn.silu(h)

@@ -66,9 +66,15 @@ def shard_batch(mesh: Mesh, batch, spatial_axis: Optional[int] = None):
     replicated over ``space``.
     """
     data_only = batch_sharding(mesh, None)
+    data_size = mesh.shape.get(DATA_AXIS, 1)
     space_size = mesh.shape.get(SPACE_AXIS, 1)
+    repl = replicated(mesh)
 
     def put(x):
+        if x.ndim == 0 or x.shape[0] % data_size != 0:
+            # batch not divisible by the data axis (e.g. eval batch 1):
+            # replicate rather than fail — compute is redundant but correct.
+            return jax.device_put(x, repl)
         if (
             spatial_axis is not None
             and space_size > 1

@@ -48,12 +48,16 @@ def build_models(
     model_cfg: Mapping[str, Any],
     n_covariates: int,
     dtype=jnp.bfloat16,
+    remat: bool = True,
 ) -> Tuple[AttenUNet, PatchDiscriminator, PerceptualLoss]:
     """Construct G/D/perceptual from a reference-schema config dict
-    (train_unet.py:61-77: cross_attention_dim := number of covariates)."""
+    (train_unet.py:61-77: cross_attention_dim := number of covariates).
+    ``remat`` defaults on: at the (96,128,96) working volume the full
+    backward's activation set does not fit 16GB HBM without it."""
     unet_def = dict(model_cfg["atten_unet_def"])
     unet_def["cross_attention_dim"] = max(n_covariates, 1)
     unet_def["with_conditioning"] = True
+    unet_def.setdefault("remat", remat)
     generator = AttenUNet(dtype=dtype, **unet_def)
     discriminator = PatchDiscriminator(dtype=dtype, **model_cfg.get("discriminator", {}))
     perceptual = PerceptualLoss(dtype=dtype, **model_cfg.get("perceptual_network", {}))
