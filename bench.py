@@ -51,17 +51,18 @@ def main():
     }
     step = jax.jit(make_train_step(g, d, p, TRAIN_CFG), donate_argnums=0)
 
-    # warmup / compile
+    # warmup / compile. NOTE: fetch a scalar to synchronise — through the
+    # axon tunnel block_until_ready returns before execution completes.
     state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    float(metrics["g_loss"])
     state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    float(metrics["g_loss"])
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    float(metrics["g_loss"])  # true device sync
     dt = time.perf_counter() - t0
 
     vols_per_sec = batch * n_steps / dt
