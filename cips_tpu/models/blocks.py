@@ -269,7 +269,7 @@ class GEGLUFeedForward(nn.Module):
         hidden = self.dim * self.mult
         h = nn.Dense(hidden * 2, dtype=self.dtype, param_dtype=jnp.float32, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)  # exact erf GELU, == torch F.gelu
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj_out")(h)
