@@ -12,7 +12,7 @@ import jax
 import numpy as np
 
 from cips_tpu.cli import common
-from cips_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from cips_tpu.parallel.mesh import device_prefetch, make_mesh, replicate, shard_batch
 from cips_tpu.training import bmgan_task
 from cips_tpu.training.common import CheckpointManager, MetricWriter
 
@@ -62,9 +62,8 @@ def main(argv=None):
     rng = jax.random.key(args.seed + 1)
     eval_l1 = float("nan")
     for epoch in range(begin_epoch, args.epochs):
-        for batch in train_loader.epoch(epoch):
+        for batch in device_prefetch(train_loader.epoch(epoch), mesh):
             rng, step_rng = jax.random.split(rng)
-            batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch, step_rng)
             global_step += 1
             if is_lead and global_step % 20 == 0:

@@ -22,7 +22,7 @@ import numpy as np
 
 from cips_tpu.cli import common
 from cips_tpu.data import nifti
-from cips_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from cips_tpu.parallel.mesh import device_prefetch, make_mesh, replicate, shard_batch
 from cips_tpu.training import unet_synthesis
 from cips_tpu.training.common import CheckpointManager, MetricWriter, StepTimer
 
@@ -40,6 +40,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--n_space", type=int, default=1, help="spatial-shard mesh axis size")
     p.add_argument("--max_steps", type=int, default=0, help="debug: stop after N steps")
+    p.add_argument("--profile_dir", default=None, help="capture a jax.profiler trace of steps 10-15")
     return p
 
 
@@ -85,10 +86,14 @@ def main(argv=None):
     ))
 
     global_step = 0
+    spatial_axis = 1 if args.n_space > 1 else None
     for epoch in range(begin_epoch, args.epochs):
-        for batch in train_loader.epoch(epoch):
-            batch = shard_batch(mesh, batch, spatial_axis=1 if args.n_space > 1 else None)
+        for batch in device_prefetch(train_loader.epoch(epoch), mesh, spatial_axis):
+            if args.profile_dir and global_step == 10:
+                jax.profiler.start_trace(args.profile_dir)
             state, metrics = step_fn(state, batch)
+            if args.profile_dir and global_step == 15:
+                jax.profiler.stop_trace()
             global_step += 1
             if is_lead and global_step % 10 == 0:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -22,6 +22,29 @@ DATA_AXIS = "data"
 SPACE_AXIS = "space"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host rendezvous — replaces the reference's MASTER_ADDR/PORT env
+    wiring (train_unet.py:26-28, with its per-script port collisions).
+
+    With no arguments JAX auto-detects the TPU pod environment; explicit
+    values cover GCE-less clusters. Call once, before device use. No-op if
+    already initialised.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialised (or single-process run)
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_space: int = 1,
@@ -91,3 +114,19 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params, opt state) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def device_prefetch(iterator, mesh: Mesh, spatial_axis: Optional[int] = None, depth: int = 2):
+    """Overlap host->device transfer with compute: keep ``depth`` batches
+    in flight (device_put is async; consuming them a step later hides the
+    transfer behind the previous step's execution). The TPU-side analogue
+    of a prefetching DataLoader."""
+    import collections
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(shard_batch(mesh, batch, spatial_axis))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
