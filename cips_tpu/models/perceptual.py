@@ -79,14 +79,11 @@ class PerceptualLoss(nn.Module):
     slice_stride: int = 4
     dtype: jnp.dtype = jnp.float32
 
-    def _features_2d(self, imgs: jax.Array) -> Sequence[jax.Array]:
-        # imgs: (B, H, W, 1) -> replicate to 3 channels like RGB-pretrained nets
-        x = jnp.repeat(imgs, 3, axis=-1)
-        return _SqueezeFeatures(dtype=self.dtype, name="features")(x)
-
-    def _loss_2d(self, a: jax.Array, b: jax.Array) -> jax.Array:
-        fa = self._features_2d(a)
-        fb = self._features_2d(b)
+    @staticmethod
+    def _loss_2d(net: _SqueezeFeatures, a: jax.Array, b: jax.Array) -> jax.Array:
+        # (B, H, W, 1) -> 3 channels like RGB-pretrained nets
+        fa = net(jnp.repeat(a, 3, axis=-1))
+        fb = net(jnp.repeat(b, 3, axis=-1))
         total = 0.0
         for xa, xb in zip(fa, fb):
             d = _unit_normalize(xa) - _unit_normalize(xb)
@@ -95,8 +92,9 @@ class PerceptualLoss(nn.Module):
 
     @nn.compact
     def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
+        net = _SqueezeFeatures(dtype=self.dtype, name="features")
         if self.spatial_dims == 2:
-            return self._loss_2d(pred, target)
+            return self._loss_2d(net, pred, target)
 
         # 2.5-D: for each axis, fold (batch, slices) together and run the 2-D
         # net once. pred/target: (N, D, H, W, 1).
@@ -123,5 +121,5 @@ class PerceptualLoss(nn.Module):
             )
         )
         for pa, ta, shape in per_axis:
-            total = total + self._loss_2d(pa.reshape(shape), ta.reshape(shape))
+            total = total + self._loss_2d(net, pa.reshape(shape), ta.reshape(shape))
         return total / 3.0
