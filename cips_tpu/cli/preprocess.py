@@ -86,6 +86,23 @@ def cmd_mask(args):
     print(f"masked {n} PET sessions")
 
 
+def cmd_simple_csv(args):
+    """Subject/AcqDate manifests with a subject split (== create_csv.py,
+    WITHOUT its bug of test rows containing training rows, :35-48)."""
+    sessions = man.scan_session_dirs(args.image_dir)
+    rows = [
+        man.PairRow(subject=s, t1_date=d, pet_date=d)
+        for s, dates in sessions.items()
+        for d in dates
+    ]
+    train, test = man.subject_split(rows, train_frac=args.train_frac, seed=args.split_seed)
+    cols = ["Subject", "T1_date", "PET_date"]
+    man.write_manifest(os.path.join(args.out_dir, "sessions_all.csv"), rows, cols)
+    man.write_manifest(os.path.join(args.out_dir, "sessions_training.csv"), train, cols)
+    man.write_manifest(os.path.join(args.out_dir, "sessions_test.csv"), test, cols)
+    print(f"{len(rows)} sessions -> {len(train)} train / {len(test)} test")
+
+
 def cmd_pack(args):
     from cips_tpu.data.dataset import PairedVolumeDataset, pack_pairs
 
@@ -149,6 +166,13 @@ def main(argv=None):
     sp.add_argument("--T1_dir", required=True)
     sp.add_argument("--out_dir", required=True)
     sp.set_defaults(fn=cmd_mask)
+
+    sp = sub.add_parser("simple-csv")
+    sp.add_argument("--image_dir", required=True)
+    sp.add_argument("--out_dir", required=True)
+    sp.add_argument("--train_frac", type=float, default=0.8)
+    sp.add_argument("--split_seed", type=int, default=100)
+    sp.set_defaults(fn=cmd_simple_csv)
 
     sp = sub.add_parser("pack")
     sp.add_argument("--manifest", required=True)

@@ -31,6 +31,24 @@ from cips_tpu.data.manifest import PairRow, read_manifest
 
 CROP_SIZE = (96, 128, 96)  # the working volume (train_unet.py:111)
 
+_NATIVE = None
+_NATIVE_CHECKED = False
+
+
+def _native():
+    """The C++ decode runtime, or None when the toolchain is unavailable."""
+    global _NATIVE, _NATIVE_CHECKED
+    if not _NATIVE_CHECKED:
+        _NATIVE_CHECKED = True
+        try:
+            from cips_tpu.runtime import native
+
+            if native.available():
+                _NATIVE = native
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
 
 def pad_crop_np(img: np.ndarray, target: Sequence[int]) -> np.ndarray:
     """Symmetric pad then center crop (MONAI SpatialPad+CenterSpatialCrop,
@@ -119,13 +137,22 @@ class PairedVolumeDataset:
     def __len__(self) -> int:
         return len(self.rows)
 
+    def _load(self, path: str) -> np.ndarray:
+        """Decode + pad/crop + max-normalise, via the native C++ runtime when
+        available (single fused pass), else the pure-Python path."""
+        if _native() is not None:
+            try:
+                return _native().decode(path, self.crop_size, normalize=True)
+            except Exception:
+                pass
+        vol = nifti.read_array(path).astype(np.float32)
+        return max_normalize_np(pad_crop_np(vol, self.crop_size))
+
     def __getitem__(self, index: int) -> Sample:
         row = self.rows[index]
         t1_path, pet_path = self.paths[index]
-        t1 = nifti.read_array(t1_path).astype(np.float32)
-        pet = nifti.read_array(pet_path).astype(np.float32)
-        t1 = max_normalize_np(pad_crop_np(t1, self.crop_size))
-        pet = max_normalize_np(pad_crop_np(pet, self.crop_size))
+        t1 = self._load(t1_path)
+        pet = self._load(pet_path)
         if self.need_values:
             info = covariate_vector(
                 row, self.need_values, self.min_and_max, invert_abeta=self.invert_abeta
