@@ -89,14 +89,9 @@ class AttenUNet(nn.Module):
 
         # remat: recompute block interiors in the backward pass; only block
         # boundaries (the skip tensors) stay live in HBM.
-        # prevent_cse=False is safe under jit and avoids the optimization
-        # barriers that otherwise materialise as padded copies on TPU.
-        def _remat(cls, static):
-            return nn.remat(cls, static_argnums=static, prevent_cse=False)
-
-        down_cls = _remat(DownBlock, (3,)) if self.remat else DownBlock
-        mid_cls = _remat(MidBlock, (3,)) if self.remat else MidBlock
-        up_cls = _remat(UpBlock, (4,)) if self.remat else UpBlock
+        down_cls = nn.remat(DownBlock, static_argnums=(3,)) if self.remat else DownBlock
+        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if self.remat else MidBlock
+        up_cls = nn.remat(UpBlock, static_argnums=(4,)) if self.remat else UpBlock
 
         # down path — collect skip residuals, starting with the stem output
         # (reference: atten_unet_model.py:1822-1829)
