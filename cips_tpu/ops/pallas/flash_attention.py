@@ -28,7 +28,7 @@ DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, block_k: int):
     # refs carry a leading length-1 (batch*head) dim from the BlockSpec
     q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
     seq_len = k_ref.shape[1]
@@ -55,6 +55,101 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
 
     m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # log-sum-exp per query row — the backward's softmax reconstruction key
+    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bh = b * h
+    qr = q.reshape(bh, lq, d)
+    kr = k.reshape(bh, lk, d)
+    vr = v.reshape(bh, lk, d)
+
+    grid = (bh, lq // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda ib, iq: (ib, iq, 0)),
+            pl.BlockSpec((1, lk, d), lambda ib, iq: (ib, 0, 0)),
+            pl.BlockSpec((1, lk, d), lambda ib, iq: (ib, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda ib, iq: (ib, iq, 0)),
+            pl.BlockSpec((1, block_q), lambda ib, iq: (ib, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, lq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qr, kr, vr)
+    return out.reshape(b, h, lq, d), lse.reshape(b, h, lq)
+
+
+def _flash_backward(scale, block_q, residuals, g):
+    """Chunked flash-attention backward — O(block_q * L) memory, pure jnp.
+
+    Standard flash backward: with P = exp(q k^T * scale - lse),
+      D  = rowsum(dO * O)
+      dS = P * (dO V^T - D)
+      dQ = dS K * scale ;  dK = dS^T Q * scale ;  dV = P^T dO
+    computed per q-block inside a scan, accumulating dK/dV.
+    """
+    q, k, v, out, lse = residuals
+    dtype = q.dtype
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    of = out.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    b, h, lq, d = q.shape
+    nq = lq // block_q
+    delta = jnp.sum(gf * of, axis=-1)  # (B, H, L)
+
+    def per_block(carry, i):
+        dk_acc, dv_acc = carry
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * block_q, block_q, axis=2)
+        qb, gb = sl(qf), sl(gf)
+        lse_b = jax.lax.dynamic_slice_in_dim(lse, i * block_q, block_q, axis=2)
+        db = jax.lax.dynamic_slice_in_dim(delta, i * block_q, block_q, axis=2)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qb, kf) * scale
+        p = jnp.exp(s - lse_b[..., None])
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gb, vf)
+        ds = p * (dp - db[..., None])
+        dq_b = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", ds, qb) * scale
+        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, gb)
+        return (dk_acc, dv_acc), dq_b
+
+    (dk, dv), dq_blocks = jax.lax.scan(
+        per_block,
+        (jnp.zeros_like(kf), jnp.zeros_like(vf)),
+        jnp.arange(nq),
+    )
+    # (nq, B, H, block_q, d) -> (B, H, L, d)
+    dq = dq_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, lq, d)
+    return dq.astype(dtype), dk.astype(dtype), dv.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_core(q, k, v, scale, block_q, block_k, interpret):
+    out, _ = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_core_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_core_bwd(scale, block_q, block_k, interpret, residuals, g):
+    return _flash_backward(scale, block_q, residuals, g)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
@@ -67,7 +162,9 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused attention, (B, H, L, Dh) -> (B, H, L, Dh)."""
+    """Fused attention, (B, H, L, Dh) -> (B, H, L, Dh). Differentiable:
+    forward is the Pallas online-softmax kernel; backward is a chunked
+    O(block_q * L)-memory custom VJP."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     if scale is None:
@@ -76,23 +173,4 @@ def flash_attention(
     block_k = min(block_k, lk)
     if lq % block_q or lk % block_k:
         raise ValueError(f"token counts ({lq}, {lk}) must divide block sizes ({block_q}, {block_k})")
-
-    bh = b * h
-    qr = q.reshape(bh, lq, d)
-    kr = k.reshape(bh, lk, d)
-    vr = v.reshape(bh, lk, d)
-
-    grid = (bh, lq // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda ib, iq: (ib, iq, 0)),
-            pl.BlockSpec((1, lk, d), lambda ib, iq: (ib, 0, 0)),
-            pl.BlockSpec((1, lk, d), lambda ib, iq: (ib, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda ib, iq: (ib, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
-        interpret=interpret,
-    )(qr, kr, vr)
-    return out.reshape(b, h, lq, d)
+    return _flash_core(q, k, v, scale, block_q, block_k, interpret)
