@@ -24,10 +24,12 @@ from cips_tpu.models.blocks import (
     DownBlock,
     GroupNorm,
     MidBlock,
+    PackedConv,
     UpBlock,
     attention_mode,
     conv,
 )
+from cips_tpu.ops.s2d import depth_to_space, space_to_depth
 
 
 def _tuplify(v, n: int) -> Tuple:
@@ -55,6 +57,7 @@ class AttenUNet(nn.Module):
     use_flash_attention: bool = False  # accepted for config parity; Pallas dispatch is automatic
     dropout_cattn: float = 0.0
     remat: bool = False  # jax.checkpoint each block: ~4x less activation HBM, ~1.3x FLOPs
+    s2d: bool = False  # space-to-depth level 0: exact math, 128-lane tensors (BENCH_NOTES.md)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -69,6 +72,13 @@ class AttenUNet(nn.Module):
             raise ValueError("attention_levels must match num_channels length")
         self._res_blocks = _tuplify(self.num_res_blocks, n)
         self._head_channels = _tuplify(self.num_head_channels, n)
+        if self.s2d:
+            if self.spatial_dims != 3 or n < 2:
+                raise ValueError("s2d requires 3-D volumes and >= 2 levels")
+            if self.attention_levels[0]:
+                raise ValueError("s2d level 0 cannot carry attention")
+            if not self.resblock_updown:
+                raise ValueError("s2d requires resblock_updown=True")
 
     @nn.compact
     def __call__(
@@ -85,7 +95,11 @@ class AttenUNet(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
-        h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
+        if self.s2d:
+            x = space_to_depth(x)
+            h = PackedConv(self.num_channels[0], 3, dtype=self.dtype, name="conv_in")(x)
+        else:
+            h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
 
         # remat: recompute block interiors in the backward pass; only block
         # boundaries (the skip tensors) stay live in HBM.
@@ -112,6 +126,7 @@ class AttenUNet(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 upcast_attention=self.upcast_attention,
                 dropout_cattn=self.dropout_cattn,
+                packed=self.s2d and i == 0,
                 dtype=self.dtype,
                 name=f"down_{i}",
             )(h, context, deterministic)
@@ -163,10 +178,19 @@ class AttenUNet(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 upcast_attention=self.upcast_attention,
                 dropout_cattn=self.dropout_cattn,
+                packed=self.s2d and i == n - 1,
+                packed_upsample=self.s2d and i == n - 2,
                 dtype=self.dtype,
                 name=f"up_{i}",
             )(h, skips, context, deterministic)
 
+        if self.s2d:
+            h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=True, name="out_norm")(h)
+            h = nn.silu(h)
+            h = PackedConv(
+                self.out_channels, 3, zero_init=True, dtype=self.dtype, name="conv_out"
+            )(h)
+            return depth_to_space(h)
         h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
         h = nn.silu(h)
         h = conv(

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from cips_tpu.ops.attention import merge_heads, multi_head_attention, split_heads
+from cips_tpu.ops.s2d import PHASES, packed_conv, phase_mean, phase_tile
 
 Dtype = jnp.dtype
 
@@ -71,22 +72,58 @@ class GroupNorm(nn.Module):
     The reference runs fp32 end-to-end; under bf16 compute we keep the
     moment computation in fp32 (the variance of bf16 activations is the one
     numerically fragile spot, see SURVEY.md §7 "hard parts") and cast back.
+
+    ``packed=True``: the input is a space-to-depth representation
+    (B, Z, Y, X, 8C); the phase axis is reshaped to spatial so the result
+    is bit-identical to GN on the full-resolution tensor, with the same
+    (C,)-shaped scale/bias parameters.
     """
 
     num_groups: int
     epsilon: float = 1e-6
+    packed: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         orig_dtype = x.dtype
+        orig_shape = x.shape
+        if self.packed:
+            x = x.reshape(*x.shape[:-1], PHASES, x.shape[-1] // PHASES)
         x = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
+        if self.packed:
+            x = x.reshape(orig_shape)
         return x.astype(orig_dtype)
+
+
+class PackedConv(nn.Module):
+    """Convolution in the space-to-depth domain with ORIGINAL parameters.
+
+    The parameter tree matches `conv()` exactly ((k,k,k,Cin,Cout) kernel +
+    (Cout,) bias under the same names), so a packed model and its unpacked
+    twin share checkpoints; only the runtime arithmetic differs (the kernel
+    is scattered to (8Cin, 8Cout) at trace time — ops/s2d.py).
+    """
+
+    features: int
+    kernel: int = 3
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1] // PHASES
+        k = self.kernel
+        kernel_init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        w = self.param("kernel", kernel_init, (k, k, k, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = packed_conv(x, w.astype(self.dtype))
+        return y + jnp.tile(b.astype(y.dtype), PHASES)
 
 
 def conv(
@@ -157,6 +194,15 @@ class ResnetBlock(nn.Module):
 
     Mirrors atten_unet_model.py:565-662 with the timestep path stripped (the
     reference never feeds one — AttenUNet.forward takes no timesteps).
+
+    ``packed`` selects the space-to-depth execution domain (exact math,
+    identical parameters — ops/s2d.py):
+      "none" — full-resolution tensors (default);
+      "all"  — input and output packed (level-0 interior blocks);
+      "down" — packed input; the 2x pool is a phase mean, output unpacked
+               (the level-0 downsampler);
+      "up"   — unpacked input; the 2x nearest upsample is a phase tile,
+               output packed (the upsampler feeding level 0).
     """
 
     spatial_dims: int
@@ -165,30 +211,53 @@ class ResnetBlock(nn.Module):
     down: bool = False
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
+    packed: str = "none"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+        packed = self.packed
+        in_packed = packed in ("all", "down")
+        in_ch = x.shape[-1] // (PHASES if in_packed else 1)
         out_ch = self.out_channels or in_ch
+        if packed == "up":
+            assert self.up and not self.down
+        if packed == "down":
+            assert self.down and not self.up
 
-        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm1")(x)
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=in_packed, name="norm1")(x)
         h = nn.silu(h)
 
         if self.up:
-            x = nearest_upsample_2x(x)
-            h = nearest_upsample_2x(h)
+            if packed == "up":
+                x = phase_tile(x)
+                h = phase_tile(h)
+            else:
+                x = nearest_upsample_2x(x)
+                h = nearest_upsample_2x(h)
         elif self.down:
-            x = avg_pool_2x(x)
-            h = avg_pool_2x(h)
+            if packed == "down":
+                x = phase_mean(x)
+                h = phase_mean(h)
+            else:
+                x = avg_pool_2x(x)
+                h = avg_pool_2x(h)
 
-        h = conv(out_ch, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm2")(h)
-        h = nn.silu(h)
-        h = conv(out_ch, 3, 1, self.spatial_dims, zero_init=True, dtype=self.dtype, name="conv2")(h)
-
-        if out_ch != in_ch:
-            x = conv(out_ch, 1, 1, self.spatial_dims, dtype=self.dtype, name="skip")(x)
+        out_packed = packed in ("all", "up")
+        if out_packed:
+            h = PackedConv(out_ch, 3, dtype=self.dtype, name="conv1")(h)
+            h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=True, name="norm2")(h)
+            h = nn.silu(h)
+            h = PackedConv(out_ch, 3, zero_init=True, dtype=self.dtype, name="conv2")(h)
+            if out_ch != in_ch:
+                x = PackedConv(out_ch, 1, dtype=self.dtype, name="skip")(x)
+        else:
+            h = conv(out_ch, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv1")(h)
+            h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm2")(h)
+            h = nn.silu(h)
+            h = conv(out_ch, 3, 1, self.spatial_dims, zero_init=True, dtype=self.dtype, name="conv2")(h)
+            if out_ch != in_ch:
+                x = conv(out_ch, 1, 1, self.spatial_dims, dtype=self.dtype, name="skip")(x)
         return x + h
 
 
@@ -404,7 +473,7 @@ class AttentionBlock(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _make_downsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype):
+def _make_downsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype, packed=False):
     if resblock_updown:
         return ResnetBlock(
             spatial_dims=spatial_dims,
@@ -412,15 +481,18 @@ def _make_downsampler(spatial_dims, out_channels, resblock_updown, norm_num_grou
             down=True,
             norm_num_groups=norm_num_groups,
             norm_eps=norm_eps,
+            packed="down" if packed else "none",
             dtype=dtype,
             name="downsampler",
         )
+    if packed:
+        raise NotImplementedError("s2d level-0 requires resblock_updown=True")
     return Downsample(
         spatial_dims=spatial_dims, use_conv=True, out_channels=out_channels, dtype=dtype, name="downsampler"
     )
 
 
-def _make_upsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype):
+def _make_upsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype, packed=False):
     if resblock_updown:
         return ResnetBlock(
             spatial_dims=spatial_dims,
@@ -428,9 +500,12 @@ def _make_upsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups
             up=True,
             norm_num_groups=norm_num_groups,
             norm_eps=norm_eps,
+            packed="up" if packed else "none",
             dtype=dtype,
             name="upsampler",
         )
+    if packed:
+        raise NotImplementedError("s2d level-0 requires resblock_updown=True")
     return Upsample(
         spatial_dims=spatial_dims, use_conv=True, out_channels=out_channels, dtype=dtype, name="upsampler"
     )
@@ -457,6 +532,7 @@ class DownBlock(nn.Module):
     cross_attention_dim: Optional[int] = None
     upcast_attention: bool = False
     dropout_cattn: float = 0.0
+    packed: bool = False  # space-to-depth level-0 domain (no attention here)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -466,6 +542,8 @@ class DownBlock(nn.Module):
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
     ):
+        if self.packed and self.attention_mode is not None:
+            raise NotImplementedError("s2d level must not carry attention")
         outputs = []
         for i in range(self.num_res_blocks):
             h = ResnetBlock(
@@ -473,6 +551,7 @@ class DownBlock(nn.Module):
                 out_channels=self.out_channels,
                 norm_num_groups=self.norm_num_groups,
                 norm_eps=self.norm_eps,
+                packed="all" if self.packed else "none",
                 dtype=self.dtype,
                 name=f"resnet_{i}",
             )(h)
@@ -512,6 +591,7 @@ class DownBlock(nn.Module):
                 self.norm_num_groups,
                 self.norm_eps,
                 self.dtype,
+                packed=self.packed,
             )(h)
             outputs.append(h)
         return h, outputs
@@ -593,6 +673,8 @@ class UpBlock(nn.Module):
     cross_attention_dim: Optional[int] = None
     upcast_attention: bool = False
     dropout_cattn: float = 0.0
+    packed: bool = False  # this block runs in the s2d level-0 domain
+    packed_upsample: bool = False  # this block's upsampler feeds a packed level
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -603,15 +685,30 @@ class UpBlock(nn.Module):
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        if self.packed and self.attention_mode is not None:
+            raise NotImplementedError("s2d level must not carry attention")
         res_list = list(res_list)
         for i in range(self.num_res_blocks):
             res = res_list.pop()
-            h = jnp.concatenate([h, res], axis=-1)
+            # packed: channels are phase-major, so packed-with-packed concat
+            # on the channel axis is NOT the full-res concat; interleave per
+            # phase instead.
+            if self.packed:
+                c_h = h.shape[-1] // PHASES
+                c_r = res.shape[-1] // PHASES
+                hr = h.reshape(*h.shape[:-1], PHASES, c_h)
+                rr = res.reshape(*res.shape[:-1], PHASES, c_r)
+                h = jnp.concatenate([hr, rr], axis=-1).reshape(
+                    *h.shape[:-1], PHASES * (c_h + c_r)
+                )
+            else:
+                h = jnp.concatenate([h, res], axis=-1)
             h = ResnetBlock(
                 spatial_dims=self.spatial_dims,
                 out_channels=self.out_channels,
                 norm_num_groups=self.norm_num_groups,
                 norm_eps=self.norm_eps,
+                packed="all" if self.packed else "none",
                 dtype=self.dtype,
                 name=f"resnet_{i}",
             )(h)
@@ -650,6 +747,7 @@ class UpBlock(nn.Module):
                 self.norm_num_groups,
                 self.norm_eps,
                 self.dtype,
+                packed=self.packed_upsample,
             )(h)
         return h
 

@@ -49,15 +49,25 @@ def build_models(
     n_covariates: int,
     dtype=jnp.bfloat16,
     remat: bool = True,
+    s2d: Optional[bool] = None,
 ) -> Tuple[AttenUNet, PatchDiscriminator, PerceptualLoss]:
     """Construct G/D/perceptual from a reference-schema config dict
     (train_unet.py:61-77: cross_attention_dim := number of covariates).
     ``remat`` defaults on: at the (96,128,96) working volume the full
-    backward's activation set does not fit 16GB HBM without it."""
+    backward's activation set does not fit 16GB HBM without it.
+    ``s2d`` (space-to-depth level 0, exact math — BENCH_NOTES.md) defaults
+    on whenever the config supports it."""
     unet_def = dict(model_cfg["atten_unet_def"])
     unet_def["cross_attention_dim"] = max(n_covariates, 1)
     unet_def["with_conditioning"] = True
     unet_def.setdefault("remat", remat)
+    if s2d is None:
+        s2d = (
+            unet_def.get("spatial_dims", 3) == 3
+            and unet_def.get("resblock_updown", False)
+            and not list(unet_def.get("attention_levels", [True]))[0]
+        )
+    unet_def.setdefault("s2d", s2d)
     generator = AttenUNet(dtype=dtype, **unet_def)
     discriminator = PatchDiscriminator(dtype=dtype, **model_cfg.get("discriminator", {}))
     perceptual = PerceptualLoss(dtype=dtype, **model_cfg.get("perceptual_network", {}))

@@ -1,0 +1,121 @@
+"""Exactness tests for the space-to-depth packed level-0 arithmetic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cips_tpu.ops.s2d import (
+    depth_to_space,
+    pack_conv_kernel,
+    packed_conv,
+    phase_mean,
+    phase_tile,
+    space_to_depth,
+)
+
+
+def _conv_full(x, w):
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(pad, pad)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 8, 6, 4, 3)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x))
+
+
+@pytest.mark.parametrize("k,cin,cout", [(3, 2, 5), (1, 4, 3)])
+def test_packed_conv_exact(k, cin, cout):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 6, 4, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, k, cin, cout)), jnp.float32) * 0.2
+    want = _conv_full(x, w)
+    got = depth_to_space(packed_conv(space_to_depth(x), w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_phase_mean_equals_avgpool():
+    import flax.linen as nn
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, 8, 6, 4, 3)), jnp.float32)
+    want = nn.avg_pool(x, (2, 2, 2), (2, 2, 2))
+    got = phase_mean(space_to_depth(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_phase_tile_equals_nearest_upsample():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 4, 3, 2, 5)), jnp.float32)
+    want = x
+    for axis in (1, 2, 3):
+        want = jnp.repeat(want, 2, axis=axis)
+    got = depth_to_space(phase_tile(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_packed_groupnorm_equivalence():
+    """GN over channel groups on the full grid == GN on the packed rep with
+    the phase axis reshaped to spatial."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(4)
+    c, groups = 6, 3
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 4, c)), jnp.float32)
+    gn = nn.GroupNorm(num_groups=groups, epsilon=1e-6)
+    params = gn.init(jax.random.key(0), x)
+    want = gn.apply(params, x)
+
+    xp = space_to_depth(x)  # (2, 2, 2, 2, 8c)
+    b, z, y, w_, pc = xp.shape
+    xr = xp.reshape(b, z, y, w_, 8, c)
+    got_r = gn.apply(params, xr)
+    got = depth_to_space(got_r.reshape(b, z, y, w_, pc))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_atten_unet_s2d_equivalence():
+    """s2d=True computes exactly the same function with the same params."""
+    from cips_tpu.models.atten_unet import AttenUNet
+
+    kwargs = dict(
+        spatial_dims=3,
+        num_res_blocks=1,
+        num_channels=(8, 8, 16),
+        norm_num_groups=8,
+        attention_levels=(False, False, True),
+        num_head_channels=(0, 0, 8),
+        resblock_updown=True,
+        with_conditioning=True,
+        cross_attention_dim=3,
+    )
+    plain = AttenUNet(**kwargs)
+    packed = AttenUNet(s2d=True, **kwargs)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 8, 1)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 3)), jnp.float32)
+
+    params = plain.init(jax.random.key(0), x, ctx)
+    params2 = packed.init(jax.random.key(0), x, ctx)
+    # identical parameter trees (same names, shapes, and init values)
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(params2)}
+    assert len(flat1) == len(flat2)
+    for key, v in flat1:
+        ks = jax.tree_util.keystr(key)
+        assert ks in flat2, ks
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(flat2[ks]), err_msg=ks)
+
+    y_plain = plain.apply(params, x, ctx)
+    y_packed = packed.apply(params, x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(y_packed), np.asarray(y_plain), atol=2e-5, rtol=2e-5
+    )
