@@ -122,7 +122,7 @@ class PackedConv(nn.Module):
         kernel_init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         w = self.param("kernel", kernel_init, (k, k, k, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = packed_conv(x, w.astype(self.dtype))
+        y = packed_conv(x.astype(self.dtype), w.astype(self.dtype))
         return y + jnp.tile(b.astype(y.dtype), PHASES)
 
 
