@@ -119,14 +119,15 @@ def pack_conv_kernel(w: jax.Array) -> jax.Array:
 def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     """Convolution in the packed domain with an original-parameter kernel."""
     assert stride == 1, "packed domain only hosts stride-1 convs"
-    wp = pack_conv_kernel(w)
+    wp = pack_conv_kernel(w.astype(x.dtype))
     k = wp.shape[0]
     pad = (k - 1) // 2
+    # MXU accumulates bf16 products in fp32 internally; matching operand
+    # dtypes keeps the custom-VJP/transpose path dtype-consistent.
     return jax.lax.conv_general_dilated(
         x,
         wp,
         (1, 1, 1),
         [(pad, pad)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
