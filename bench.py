@@ -36,7 +36,7 @@ def main():
     from __graft_entry__ import FLAGSHIP_CFG, N_COVARIATES, TRAIN_CFG
     from cips_tpu.training.unet_synthesis import build_models, init_state, make_train_step
 
-    batch = int(jax.device_count()) * 4  # per-chip batch 4 (fits 16GB v5e HBM)
+    batch = int(jax.device_count()) * 8  # per-chip batch 8 (fits with s2d level-0 + remat)
     shape = (batch, 96, 128, 96, 1)
 
     g, d, p = build_models(FLAGSHIP_CFG, n_covariates=N_COVARIATES, dtype=jnp.bfloat16)
