@@ -134,3 +134,30 @@ def test_n4_bias_correct_flattens_field():
     corrected = np.asarray(n4_bias_correct(jnp.asarray(biased), grid=(4, 4, 4), iters=3))
     # corrected field should vary less across z than the biased input
     assert corrected.std() < biased.std() * 0.5
+
+
+def test_rigid_registration_recovers_small_rotation():
+    rng = np.random.default_rng(6)
+    base = ndi.gaussian_filter(rng.random((24, 24, 24)).astype(np.float32), 2.0)
+    angle = 0.1  # ~5.7 degrees about axis 0
+    center = (np.asarray(base.shape, np.float32) - 1) / 2
+    from cips_tpu.ops.resample import rigid_matrix as _rm
+
+    true_mat = _rm(jnp.asarray([angle, 0, 0, 0, 0, 0], jnp.float32), jnp.asarray(center))
+    fixed = affine_warp(jnp.asarray(base), true_mat)
+    res = register_rigid(
+        jnp.asarray(base), fixed, metric="ncc", pyramid=(2, 1), iters_per_level=80, lr=0.08
+    )
+    assert res.params[0] == pytest.approx(angle, abs=0.03)
+    assert res.loss < -0.9
+
+
+def test_registration_mi_metric_runs():
+    rng = np.random.default_rng(7)
+    base = ndi.gaussian_filter(rng.random((16, 16, 16)).astype(np.float32), 1.5)
+    matrix = jnp.eye(3, 4).at[2, 3].set(1.5)
+    fixed = affine_warp(jnp.asarray(base), matrix)
+    res = register_rigid(
+        jnp.asarray(base), fixed, metric="mi", pyramid=(1,), iters_per_level=50, lr=0.1
+    )
+    assert res.params[5] == pytest.approx(1.5, abs=0.5)
