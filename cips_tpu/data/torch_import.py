@@ -1,0 +1,199 @@
+"""Import reference (torch) checkpoints into cips_tpu flax models.
+
+The reference saves `torch.save({"unet": ddp.state_dict(), "discriminator":
+..., "epoch": ..., ...})` (train_unet.py:295-302) with DDP's `module.`
+prefixes. This module maps those state_dicts onto the flax parameter trees
+of `AttenUNet` / `DiffusionModelEncoder` / `PatchDiscriminator`, so models
+trained with the reference can be served/fine-tuned here.
+
+Name scheme (derived from the vendored architecture,
+unet/utils/atten_unet_model.py — MONAI `Convolution(conv_only=True)` is a
+Sequential with a single "conv" child, hence `*.conv.weight`):
+
+  torch                                      flax
+  ---------------------------------------    -------------------------------
+  conv_in.conv.{weight,bias}                 conv_in/{kernel,bias}
+  down_blocks.I.resnets.J.norm1.*            down_I/resnet_J/norm1/GroupNorm_0/*
+  down_blocks.I.resnets.J.conv1.conv.*       down_I/resnet_J/conv1/*
+  down_blocks.I.resnets.J.skip_connection.conv.*  down_I/resnet_J/skip/*
+  down_blocks.I.downsampler...               down_I/downsampler/...
+  down_blocks.I.attentions.J...              down_I/attn_J/...
+  middle_block.resnet_1 / attention / resnet_2    mid/resnet_1|attention|attn.../resnet_2
+  up_blocks.I...                             up_I/...
+  out.0.* (GroupNorm), out.2.conv.*          out_norm/GroupNorm_0/*, conv_out/*
+  attention blocks: to_q/to_k/to_v/proj_attn Linears; CrossAttention
+  to_out.0 -> to_out; MLPBlock linear1/linear2 -> ff/proj_in, ff/proj_out.
+
+Conv kernels transpose (out,in,kd,kh,kw) -> (kd,kh,kw,in,out); Linear
+weights transpose (out,in) -> (in,out).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def strip_ddp_prefix(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    return {k[len("module."):] if k.startswith("module.") else k: v for k, v in state_dict.items()}
+
+
+def _conv_w(t):
+    w = _np(t)
+    # (out, in, *k) -> (*k, in, out)
+    axes = tuple(range(2, w.ndim)) + (1, 0)
+    return w.transpose(axes)
+
+
+def _lin_w(t):
+    return _np(t).T
+
+
+def _set(tree: Dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _map_groupnorm(out, prefix_t, prefix_f, sd):
+    _set(out, f"{prefix_f}/GroupNorm_0/scale", _np(sd[f"{prefix_t}.weight"]))
+    _set(out, f"{prefix_f}/GroupNorm_0/bias", _np(sd[f"{prefix_t}.bias"]))
+
+
+def _map_conv(out, prefix_t, prefix_f, sd):
+    _set(out, f"{prefix_f}/kernel", _conv_w(sd[f"{prefix_t}.conv.weight"]))
+    bias_key = f"{prefix_t}.conv.bias"
+    if bias_key in sd:
+        _set(out, f"{prefix_f}/bias", _np(sd[bias_key]))
+
+
+def _map_resnet(out, pt, pf, sd):
+    _map_groupnorm(out, f"{pt}.norm1", f"{pf}/norm1", sd)
+    _map_conv(out, f"{pt}.conv1", f"{pf}/conv1", sd)
+    _map_groupnorm(out, f"{pt}.norm2", f"{pf}/norm2", sd)
+    _map_conv(out, f"{pt}.conv2", f"{pf}/conv2", sd)
+    if f"{pt}.skip_connection.conv.weight" in sd:
+        _map_conv(out, f"{pt}.skip_connection", f"{pf}/skip", sd)
+
+
+def _map_attention_block(out, pt, pf, sd):
+    _map_groupnorm(out, f"{pt}.norm", f"{pf}/norm", sd)
+    for lin in ("to_q", "to_k", "to_v", "proj_attn"):
+        _set(out, f"{pf}/{lin}/kernel", _lin_w(sd[f"{pt}.{lin}.weight"]))
+        _set(out, f"{pf}/{lin}/bias", _np(sd[f"{pt}.{lin}.bias"]))
+
+
+def _map_cross_attention(out, pt, pf, sd):
+    for lin in ("to_q", "to_k", "to_v"):
+        _set(out, f"{pf}/{lin}/kernel", _lin_w(sd[f"{pt}.{lin}.weight"]))
+    _set(out, f"{pf}/to_out/kernel", _lin_w(sd[f"{pt}.to_out.0.weight"]))
+    _set(out, f"{pf}/to_out/bias", _np(sd[f"{pt}.to_out.0.bias"]))
+
+
+def _map_layernorm(out, pt, pf, sd):
+    _set(out, f"{pf}/scale", _np(sd[f"{pt}.weight"]))
+    _set(out, f"{pf}/bias", _np(sd[f"{pt}.bias"]))
+
+
+def _map_spatial_transformer(out, pt, pf, sd, num_layers=1):
+    _map_groupnorm(out, f"{pt}.norm", f"{pf}/norm", sd)
+    _map_conv(out, f"{pt}.proj_in", f"{pf}/proj_in", sd)
+    for k in range(num_layers):
+        bt = f"{pt}.transformer_blocks.{k}"
+        bf = f"{pf}/block_{k}"
+        _map_cross_attention(out, f"{bt}.attn1", f"{bf}/attn1", sd)
+        _map_cross_attention(out, f"{bt}.attn2", f"{bf}/attn2", sd)
+        _map_layernorm(out, f"{bt}.norm1", f"{bf}/norm1", sd)
+        _map_layernorm(out, f"{bt}.norm2", f"{bf}/norm2", sd)
+        _map_layernorm(out, f"{bt}.norm3", f"{bf}/norm3", sd)
+        _set(out, f"{bf}/ff/proj_in/kernel", _lin_w(sd[f"{bt}.ff.linear1.weight"]))
+        _set(out, f"{bf}/ff/proj_in/bias", _np(sd[f"{bt}.ff.linear1.bias"]))
+        _set(out, f"{bf}/ff/proj_out/kernel", _lin_w(sd[f"{bt}.ff.linear2.weight"]))
+        _set(out, f"{bf}/ff/proj_out/bias", _np(sd[f"{bt}.ff.linear2.bias"]))
+    _map_conv(out, f"{pt}.proj_out", f"{pf}/proj_out", sd)
+
+
+def _has(sd, prefix):
+    return any(k.startswith(prefix) for k in sd)
+
+
+def import_atten_unet(state_dict: Mapping[str, Any], num_levels: int, transformer_num_layers: int = 1) -> Dict:
+    """torch AttenUNet state_dict -> flax params["params"] subtree."""
+    sd = strip_ddp_prefix(state_dict)
+    out: Dict = {}
+    _map_conv(out, "conv_in", "conv_in", sd)
+
+    for i in range(num_levels):
+        bt = f"down_blocks.{i}"
+        bf = f"down_{i}"
+        j = 0
+        while _has(sd, f"{bt}.resnets.{j}."):
+            _map_resnet(out, f"{bt}.resnets.{j}", f"{bf}/resnet_{j}", sd)
+            j += 1
+        j = 0
+        while _has(sd, f"{bt}.attentions.{j}."):
+            pt = f"{bt}.attentions.{j}"
+            pf = f"{bf}/attn_{j}"
+            if _has(sd, f"{pt}.transformer_blocks."):
+                _map_spatial_transformer(out, pt, pf, sd, transformer_num_layers)
+            else:
+                _map_attention_block(out, pt, pf, sd)
+            j += 1
+        if _has(sd, f"{bt}.downsampler.norm1"):
+            _map_resnet(out, f"{bt}.downsampler", f"{bf}/downsampler", sd)
+        elif _has(sd, f"{bt}.downsampler.op"):
+            _map_conv(out, f"{bt}.downsampler.op", f"{bf}/downsampler/op", sd)
+
+    _map_resnet(out, "middle_block.resnet_1", "mid/resnet_1", sd)
+    if _has(sd, "middle_block.attention.transformer_blocks."):
+        _map_spatial_transformer(out, "middle_block.attention", "mid/attention", sd, transformer_num_layers)
+    elif _has(sd, "middle_block.attention."):
+        _map_attention_block(out, "middle_block.attention", "mid/attention", sd)
+    _map_resnet(out, "middle_block.resnet_2", "mid/resnet_2", sd)
+
+    for i in range(num_levels):
+        bt = f"up_blocks.{i}"
+        bf = f"up_{i}"
+        j = 0
+        while _has(sd, f"{bt}.resnets.{j}."):
+            _map_resnet(out, f"{bt}.resnets.{j}", f"{bf}/resnet_{j}", sd)
+            j += 1
+        j = 0
+        while _has(sd, f"{bt}.attentions.{j}."):
+            pt = f"{bt}.attentions.{j}"
+            pf = f"{bf}/attn_{j}"
+            if _has(sd, f"{pt}.transformer_blocks."):
+                _map_spatial_transformer(out, pt, pf, sd, transformer_num_layers)
+            else:
+                _map_attention_block(out, pt, pf, sd)
+            j += 1
+        if _has(sd, f"{bt}.upsampler.norm1"):
+            _map_resnet(out, f"{bt}.upsampler", f"{bf}/upsampler", sd)
+        elif _has(sd, f"{bt}.upsampler.conv"):
+            _map_conv(out, f"{bt}.upsampler.conv", f"{bf}/upsampler/conv", sd)
+
+    _map_groupnorm(out, "out.0", "out_norm", sd)
+    _map_conv(out, "out.2", "conv_out", sd)
+    return out
+
+
+def import_checkpoint(path: str, num_levels: int, transformer_num_layers: int = 1) -> Dict[str, Any]:
+    """Load a reference .ckpt; returns {"unet": flax_params_subtree,
+    "epoch": int, "raw": full torch dict}."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out: Dict[str, Any] = {"raw": ckpt, "epoch": ckpt.get("epoch")}
+    if "unet" in ckpt:
+        out["unet"] = {"params": import_atten_unet(ckpt["unet"], num_levels, transformer_num_layers)}
+    return out
