@@ -27,7 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cips_tpu.models.blocks import DownBlock, GroupNorm, attention_mode, conv
+from cips_tpu.models.blocks import DownBlock, GroupNorm, PackedConv, attention_mode, conv
+from cips_tpu.ops.s2d import space_to_depth
 
 
 def _tuplify(v, n: int) -> Tuple:
@@ -54,6 +55,7 @@ class DiffusionModelEncoder(nn.Module):
     head: str = "mlp"  # "mlp" -> logits (classifier) | "spatial" -> latent map (causal)
     head_hidden: int = 512
     head_dropout: float = 0.1
+    s2d: bool = False  # space-to-depth level 0 (exact; needs resblock_updown, no L0 attention)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -69,7 +71,13 @@ class DiffusionModelEncoder(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
-        h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
+        if self.s2d:
+            if self.attention_levels[0] or not self.resblock_updown or self.spatial_dims != 3:
+                raise ValueError("s2d needs resblock_updown=True, no level-0 attention, 3-D")
+            x = space_to_depth(x)
+            h = PackedConv(self.num_channels[0], 3, dtype=self.dtype, name="conv_in")(x)
+        else:
+            h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
 
         for i in range(n):
             # mlp head: downsample at every level (reference behaviour,
@@ -89,6 +97,7 @@ class DiffusionModelEncoder(nn.Module):
                 transformer_num_layers=self.transformer_num_layers,
                 cross_attention_dim=self.cross_attention_dim,
                 upcast_attention=self.upcast_attention,
+                packed=self.s2d and i == 0,
                 dtype=self.dtype,
                 name=f"down_{i}",
             )(h, context=context, deterministic=deterministic)

@@ -43,6 +43,15 @@ def build_model(
     else:
         cfg["with_conditioning"] = False
         cfg.pop("cross_attention_dim", None)
+    # space-to-depth level 0 pays off only for narrow first levels
+    # (BENCH_NOTES.md); exact math, so enable whenever supported.
+    cfg.setdefault(
+        "s2d",
+        cfg.get("spatial_dims", 3) == 3
+        and cfg.get("resblock_updown", False)
+        and not list(cfg.get("attention_levels", [True]))[0]
+        and list(cfg.get("num_channels", [64]))[0] <= 32,
+    )
     return DiffusionModelEncoder(head="mlp", dtype=dtype, **cfg)
 
 

@@ -119,3 +119,29 @@ def test_atten_unet_s2d_equivalence():
     np.testing.assert_allclose(
         np.asarray(y_packed), np.asarray(y_plain), atol=2e-5, rtol=2e-5
     )
+
+
+def test_encoder_s2d_equivalence():
+    from cips_tpu.models.encoder import DiffusionModelEncoder
+
+    kwargs = dict(
+        in_channels=2,
+        out_channels=2,
+        num_channels=(8, 8),
+        num_res_blocks=1,
+        attention_levels=(False, True),
+        norm_num_groups=8,
+        num_head_channels=(0, 4),
+        resblock_updown=True,
+        head="mlp",
+    )
+    plain = DiffusionModelEncoder(**kwargs)
+    packed = DiffusionModelEncoder(s2d=True, **kwargs)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 2)), jnp.float32)
+    params = plain.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(params, x)),
+        np.asarray(plain.apply(params, x)),
+        atol=2e-5, rtol=2e-5,
+    )
