@@ -29,3 +29,18 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the (96,128,96) train step takes minutes
+# to compile cold (remote-compile tunnel); cached reruns start instantly.
+_cache_dir = _os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.jax_cache")
+)
+try:  # pragma: no cover - depends on jax runtime state
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
