@@ -382,6 +382,8 @@ class BatchLoader:
             num_batches += 1
         for b in range(num_batches):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            # memmap fancy-indexing wants sorted indices; within-batch order
+            # is irrelevant (the same sort is applied to the covariates)
             vols = self.packed.volumes[np.sort(idx)].astype(np.float32)
             t1 = vols[:, 0][..., None]
             pet = vols[:, 1][..., None]

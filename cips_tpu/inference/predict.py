@@ -55,8 +55,12 @@ class VolumeMetrics:
 
 
 @jax.jit
-def _metric_triple(rec: jax.Array, real: jax.Array):
-    masked = rec * get_mask(real).astype(rec.dtype)
+def _real_mask(real: jax.Array) -> jax.Array:
+    return get_mask(real).astype(real.dtype)
+
+
+@jax.jit
+def _metric_triple(masked: jax.Array, real: jax.Array):
     return (
         mae(masked, real),
         ms_ssim(masked, real, kernel_size=5, sigma=0.5),
@@ -104,15 +108,13 @@ def predict_dataset(
             real = batch["pet"][j, ..., 0].astype(jnp.float32)
             if mask_mode == "self":
                 rec = _renorm_and_self_mask(rec)
+            masked = rec * _real_mask(real) if mask_mode == "real" else rec
             if compute_metrics:
-                m, ss, ps = _metric_triple(rec, real)
+                m, ss, ps = _metric_triple(masked, real)
                 results.add({"mae": float(m), "ms_ssim": float(ss), "psnr": float(ps)})
             if output_dir is not None:
                 out_dir = os.path.join(output_dir, s.subject, s.pet_date)
-                rec_np = np.asarray(rec, np.float32)
-                if mask_mode == "real":
-                    rec_np = rec_np * np.asarray(get_mask(real), np.float32)
-                nifti.write(os.path.join(out_dir, rec_name), rec_np)
+                nifti.write(os.path.join(out_dir, rec_name), np.asarray(masked, np.float32))
                 if write_ori:
                     nifti.write(os.path.join(out_dir, ori_name), np.asarray(real, np.float32))
     return results

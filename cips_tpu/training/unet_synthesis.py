@@ -20,7 +20,6 @@ Batch layout is channels-last; under a mesh the batch is sharded on the
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
