@@ -341,6 +341,106 @@ class PackedDataset:
         return self.volumes.shape[0]
 
 
+class StreamingLoader:
+    """Epoch iterator decoding NIfTIs on the fly via the native C++ prefetch
+    pool — for datasets too large (or too churning) to pack. Decode overlaps
+    the accelerator step; falls back to synchronous Python decode when the
+    native runtime is unavailable.
+    """
+
+    def __init__(
+        self,
+        dataset: PairedVolumeDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        n_threads: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self._prefetcher = None
+        nat = _native()
+        if nat is not None and len(dataset) > 0:
+            t1_paths = [p[0] for p in dataset.paths]
+            pet_paths = [p[1] for p in dataset.paths]
+            try:
+                self._prefetcher = nat.NativePrefetcher(
+                    t1_paths, pet_paths, dataset.crop_size, n_threads=n_threads,
+                    capacity=max(2 * batch_size, 8),
+                )
+            except Exception:
+                self._prefetcher = None
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        order = order[self.process_index :: self.process_count]
+        usable = len(order) - (len(order) % self.batch_size if self.drop_last else 0)
+        order = order[:usable] if self.drop_last else order
+        if not len(order):
+            return
+
+        if self._prefetcher is not None:
+            self._prefetcher.submit([int(i) for i in order])
+            pending: Dict[int, np.ndarray] = {}
+            served = 0
+            batch_vols, batch_idx = [], []
+            while served < len(order):
+                idx, sample = self._prefetcher.next()
+                if idx < 0:
+                    break
+                batch_vols.append(sample)
+                batch_idx.append(idx)
+                served += 1
+                if len(batch_vols) == self.batch_size or (
+                    served == len(order) and not self.drop_last and batch_vols
+                ):
+                    vols = np.stack(batch_vols)
+                    infos = np.stack(
+                        [
+                            covariate_vector(
+                                self.dataset.rows[i],
+                                self.dataset.need_values,
+                                self.dataset.min_and_max,
+                                invert_abeta=self.dataset.invert_abeta,
+                            )
+                            if self.dataset.need_values
+                            else np.zeros((0,), np.float32)
+                            for i in batch_idx
+                        ]
+                    )[:, None, :]
+                    yield {
+                        "t1": vols[:, 0][..., None],
+                        "pet": vols[:, 1][..., None],
+                        "info": infos,
+                    }
+                    batch_vols, batch_idx = [], []
+            return
+
+        # python fallback: synchronous decode
+        for b in range(0, len(order), self.batch_size):
+            idx = order[b : b + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            samples = [self.dataset[int(i)] for i in idx]
+            yield {
+                "t1": np.stack([s.t1 for s in samples])[..., None],
+                "pet": np.stack([s.pet for s in samples])[..., None],
+                "info": np.stack([s.info for s in samples])[:, None, :],
+            }
+
+
 class BatchLoader:
     """Shuffled epoch iterator over a PackedDataset with host sharding.
 

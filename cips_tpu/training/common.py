@@ -138,6 +138,26 @@ class MetricWriter:
             self._jsonl.close()
 
 
+def guard_nonfinite(train_step: Callable, loss_key: str = "g_loss") -> Callable:
+    """Failure-detection wrapper (SURVEY.md §5.3 — the reference has none):
+    if the step produces a non-finite loss, the parameter update is discarded
+    (the previous state is returned) and the metric dict gains
+    ``skipped_nonfinite``. All inside jit via lax.cond-free select — no
+    host round-trip."""
+
+    def guarded(state, *args, **kwargs):
+        new_state, metrics = train_step(state, *args, **kwargs)
+        ok = jnp.isfinite(metrics[loss_key])
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(ok, x, y) if hasattr(x, "dtype") else x, a, b
+        )
+        metrics = dict(metrics)
+        metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
+        return sel(new_state, state), metrics
+
+    return guarded
+
+
 class StepTimer:
     """Per-step wall-clock profiler — the tracing hook the reference lacks
     (SURVEY.md §5.1). Pairs with jax.profiler for deep traces."""

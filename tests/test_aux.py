@@ -59,3 +59,21 @@ def test_timers_and_memory_report():
     assert rep["steps"] == 4
     mem = device_memory_report()
     assert len(mem) == len(jax.devices())
+
+
+def test_guard_nonfinite_restores_state():
+    from cips_tpu.training.common import guard_nonfinite
+
+    def bad_step(state, batch):
+        new_state = jax.tree_util.tree_map(lambda x: x + 1.0, state)
+        loss = jnp.where(batch["explode"], jnp.float32(jnp.nan), jnp.float32(0.5))
+        return new_state, {"g_loss": loss}
+
+    guarded = jax.jit(guard_nonfinite(bad_step))
+    state = {"w": jnp.ones((2,))}
+    s1, m1 = guarded(state, {"explode": jnp.asarray(False)})
+    assert float(m1["skipped_nonfinite"]) == 0.0
+    np.testing.assert_allclose(np.asarray(s1["w"]), 2.0)
+    s2, m2 = guarded(s1, {"explode": jnp.asarray(True)})
+    assert float(m2["skipped_nonfinite"]) == 1.0
+    np.testing.assert_allclose(np.asarray(s2["w"]), np.asarray(s1["w"]))  # update discarded

@@ -202,3 +202,29 @@ def test_mci_dataset_excludes_post_conversion(tmp_path):
     # ABETA inverted after min-max: 1 - 0.5
     assert info[0] == pytest.approx(0.5)
     assert label in (0, 1)
+
+
+def test_streaming_loader(tmp_path):
+    rows = [
+        PairRow(f"s{i}", f"2011-01-0{i+1}", f"2011-01-1{i+1}", {"TAU": str(100 + i)})
+        for i in range(3)
+    ]
+    csv_path = str(tmp_path / "pairs.csv")
+    write_manifest(csv_path, rows)
+    pet_dir, t1_dir = _make_tree(tmp_path, rows)
+    from cips_tpu.data.dataset import PairedVolumeDataset, StreamingLoader
+
+    ds = PairedVolumeDataset(
+        csv_path, pet_dir=pet_dir, t1_dir=t1_dir, crop_size=(8, 8, 8),
+        need_values=["TAU"], min_and_max={"TAU": (100, 102)},
+    )
+    loader = StreamingLoader(ds, batch_size=2, seed=1)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["t1"].shape == (2, 8, 8, 8, 1)
+    assert b["info"].shape == (2, 1, 1)
+    assert b["pet"].max() <= 1.0 + 1e-6
+    # epoch 2 yields a (possibly) different sample subset but same shapes
+    again = list(loader.epoch(1))
+    assert len(again) == 1
