@@ -228,3 +228,25 @@ def test_streaming_loader(tmp_path):
     # epoch 2 yields a (possibly) different sample subset but same shapes
     again = list(loader.epoch(1))
     assert len(again) == 1
+
+
+def test_paired_latent_dataset(tmp_path):
+    rows = [PairRow("s1", "2011-01-01", "2011-01-10")]
+    csv_path = str(tmp_path / "pairs.csv")
+    write_manifest(csv_path, rows)
+    _, t1_dir = _make_tree(tmp_path, rows)
+    lat_dir = tmp_path / "latents" / "s1" / "2011-01-10"
+    lat_dir.mkdir(parents=True)
+    lat = np.random.default_rng(0).random((4, 4, 4, 3)).astype(np.float32)
+    np.save(lat_dir / "latent.npy", lat)
+
+    from cips_tpu.data.dataset import PairedLatentDataset
+
+    ds = PairedLatentDataset(
+        csv_path, latent_dir=str(tmp_path / "latents"), t1_dir=t1_dir, crop_size=(8, 8, 8)
+    )
+    assert len(ds) == 1
+    t1, latent, info, subject, t1_date, pet_date = ds[0]
+    assert t1.shape == (8, 8, 8)
+    np.testing.assert_array_equal(latent, lat)
+    assert subject == "s1"
