@@ -110,8 +110,15 @@ def ms_ssim(
 ) -> jax.Array:
     a = _as_batched(a)
     b = _as_batched(b)
-    weights_arr = jnp.asarray(weights, jnp.float32)
+    # clamp the scale count so the gaussian window always fits: torchmetrics
+    # raises on too-small inputs; we degrade gracefully and renormalise the
+    # weights over the scales actually used.
+    min_dim = min(a.shape[1:4])
     n_scales = len(weights)
+    while n_scales > 1 and min_dim // (2 ** (n_scales - 1)) < kernel_size:
+        n_scales -= 1
+    weights_arr = jnp.asarray(weights[:n_scales], jnp.float32)
+    weights_arr = weights_arr / weights_arr.sum() * sum(weights)
 
     values = []
     for i in range(n_scales):

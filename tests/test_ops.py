@@ -161,3 +161,10 @@ def test_registration_mi_metric_runs():
         jnp.asarray(base), fixed, metric="mi", pyramid=(1,), iters_per_level=50, lr=0.1
     )
     assert res.params[5] == pytest.approx(1.5, abs=0.5)
+
+
+def test_ms_ssim_small_volume_no_nan():
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.random((32, 32, 32)), jnp.float32)
+    v = float(ms_ssim(a, a))  # default kernel 11 would exceed 5-scale size
+    assert np.isfinite(v) and v == pytest.approx(1.0, abs=1e-4)
