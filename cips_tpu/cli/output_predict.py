@@ -12,7 +12,6 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
 
 from cips_tpu.cli import common
 from cips_tpu.data.dataset import PairedVolumeDataset

@@ -17,7 +17,6 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cips_tpu.cli import common

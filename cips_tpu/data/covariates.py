@@ -24,7 +24,7 @@ from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 
-from cips_tpu.data.manifest import PairRow, days_between, parse_date
+from cips_tpu.data.manifest import PairRow, days_between
 
 COVARIATES_BY_TRACER = {
     "AV1451": ["TAU", "PTAU", "Age", "Sex", "APOE4", "PTEDUCAT"],

@@ -26,7 +26,7 @@ from typing import Dict, Iterator, List, Mapping, Optional, Sequence, Tuple
 import numpy as np
 
 from cips_tpu.data import nifti
-from cips_tpu.data.covariates import covariate_vector, encode_value
+from cips_tpu.data.covariates import covariate_vector
 from cips_tpu.data.manifest import PairRow, read_manifest
 
 CROP_SIZE = (96, 128, 96)  # the working volume (train_unet.py:111)

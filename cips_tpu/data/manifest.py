@@ -21,7 +21,7 @@ import os
 import random
 from dataclasses import dataclass, field
 from datetime import datetime
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 DATE_FMT = "%Y-%m-%d"
 MAX_PAIR_DAYS = 180

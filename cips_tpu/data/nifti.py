@@ -16,7 +16,7 @@ import gzip
 import os
 import struct
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ optimiser, resampler and mask math execute on the accelerator.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

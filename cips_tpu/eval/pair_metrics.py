@@ -11,7 +11,7 @@ torchmetrics defaults kernel 11 sigma 1.5) / PSNR = 10*log10(1/MSE)
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cips_tpu.models.blocks import AttentionBlock, GroupNorm, ResnetBlock, Upsample, conv, avg_pool_2x
+from cips_tpu.models.blocks import AttentionBlock, GroupNorm, ResnetBlock, Upsample, conv
 
 
 def _tuplify(v, n: int) -> Tuple:

@@ -14,7 +14,7 @@ one group per channel, computed in fp32.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import flax.linen as nn
 import jax

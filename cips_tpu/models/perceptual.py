@@ -22,7 +22,7 @@ an unbiased estimator of the full slice-wise loss.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

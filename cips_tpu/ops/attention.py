@@ -13,8 +13,6 @@ Shapes follow the TPU-friendly convention:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -17,8 +17,6 @@ intensity maximum, which on brain volumes selects the head component.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ Volumes are (D, H, W) or batched (..., D, H, W); computation is fp32.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence, Tuple
 
 import jax

@@ -13,7 +13,7 @@ Volumes are (D, H, W) or (..., D, H, W); coordinates are voxel-space.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ one program per working shape; batched inputs are handled natively.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ encoder. sklearn epoch metrics live in `cips_tpu/eval/classification.py`.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+from typing import Any, Callable, Dict, Mapping, Tuple
 
 import jax
 import jax.numpy as jnp

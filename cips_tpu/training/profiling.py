@@ -11,9 +11,8 @@ SURVEY.md §5.1: the reference's only observability is print lines. Here:
 from __future__ import annotations
 
 import contextlib
-import json
 import time
-from typing import Dict, Iterable, Iterator, List, Optional
+from typing import Dict, Iterable, Iterator, List
 
 import jax
 
