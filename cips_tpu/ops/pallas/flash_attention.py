@@ -55,11 +55,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, block_k:
     m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     # log-sum-exp per query row — the backward's softmax reconstruction key.
-    # The lse block is the full (1, Lq) row (TPU tiling forbids a
-    # (1, block_q) block); consecutive q-programs share the buffer and fill
-    # disjoint slices, flushed when the batch*head index advances.
+    # lse is laid out (bh, nq, block_q) and its block is the full (nq,
+    # block_q) slab (TPU tiling rejects a (1, block_q) 2-D block):
+    # consecutive q-programs share the buffer and each fills its row,
+    # flushed when the batch*head index advances.
     iq = pl.program_id(1)
-    lse_ref[0, pl.ds(iq * block_q, block_q)] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    lse_ref[0, iq, :] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
@@ -81,11 +82,11 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda ib, iq: (ib, iq, 0)),
-            pl.BlockSpec((1, lq), lambda ib, iq: (ib, 0)),
+            pl.BlockSpec((1, lq // block_q, block_q), lambda ib, iq: (ib, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, lq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lq // block_q, block_q), jnp.float32),
         ],
         interpret=interpret,
     )(qr, kr, vr)
