@@ -3,15 +3,18 @@
 The attention levels of the UNet family attend over the flattened voxel
 grid (SpatialTransformer / AttentionBlock; reference
 `unet/utils/atten_unet_model.py:330-335` materialises the full L x L score
-matrix). At coarse levels (L ~ 2.3k) that is fine, but attention at finer
-levels (L = 18k+ at 1/4 resolution) needs O(L) memory: this kernel computes
-online-softmax attention one (block_q x block_k) tile at a time, keeping
-running max/denominator in VMEM — scores never hit HBM.
+matrix). At coarse levels (L ~ 2.3k) that is fine, but finer levels reach
+18k-147k tokens: this kernel computes online-softmax attention one
+(block_q x block_k) tile at a time. K/V stream through the grid's innermost
+dimension (double-buffered DMA handled by the Pallas pipeline), so VMEM
+holds only one tile of each operand regardless of sequence length; running
+max / denominator / output live in VMEM scratch across the k steps.
 
 Layout: q, k, v are (B, H, L, Dh). Requirements: L % block sizes == 0
 (voxel-grid token counts are highly composite; the dispatcher in
 cips_tpu/ops/attention.py falls back to the einsum path otherwise).
-fp32 accumulation regardless of input dtype.
+fp32 accumulation regardless of input dtype. Differentiable via a chunked
+O(block_q * L)-memory custom VJP (lse is a second kernel output).
 """
 
 from __future__ import annotations
@@ -21,46 +24,49 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, block_k: int):
-    # refs carry a leading length-1 (batch*head) dim from the BlockSpec
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
-    seq_len = k_ref.shape[1]
-    num_k = seq_len // block_k
-    block_q, d = q.shape
-
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
-
-    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    # log-sum-exp per query row — the backward's softmax reconstruction key.
-    # lse is laid out (bh, nq, block_q) and its block is the full (nq,
-    # block_q) slab (TPU tiling rejects a (1, block_q) 2-D block):
-    # consecutive q-programs share the buffer and each fills its row,
-    # flushed when the batch*head index advances.
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale: float):
     iq = pl.program_id(1)
-    lse_ref[0, iq, :] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+    k = k_ref[0].astype(jnp.float32)  # (block_k, d)
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_k)
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l_final = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = (acc_scr[:] / l_final).astype(o_ref.dtype)
+        # lse laid out (bh, nq, block_q); its block is the full (nq, block_q)
+        # slab (TPU tiling rejects a (1, block_q) 2-D block). Programs for
+        # one batch*head share the buffer, each filling its q-row.
+        lse_ref[0, iq, :] = (m_scr[:, :1] + jnp.log(l_final))[:, 0]
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
@@ -71,22 +77,27 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
     kr = k.reshape(bh, lk, d)
     vr = v.reshape(bh, lk, d)
 
-    grid = (bh, lq // block_q)
+    grid = (bh, lq // block_q, lk // block_k)
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda ib, iq: (ib, iq, 0)),
-            pl.BlockSpec((1, lk, d), lambda ib, iq: (ib, 0, 0)),
-            pl.BlockSpec((1, lk, d), lambda ib, iq: (ib, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda ib, iq: (ib, iq, 0)),
-            pl.BlockSpec((1, lq // block_q, block_q), lambda ib, iq: (ib, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, lq // block_q, block_q), lambda ib, iq, ik: (ib, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
             jax.ShapeDtypeStruct((bh, lq // block_q, block_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max (lane-broadcast)
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running denominator
+            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
         ],
         interpret=interpret,
     )(qr, kr, vr)
