@@ -111,6 +111,7 @@ class Decoder(nn.Module):
     attention_levels: Sequence[bool] | None = None
     with_encoder_nonlocal_attn: bool = False  # config parity; encoder-side flag
     with_decoder_nonlocal_attn: bool = False
+    remat: bool = False  # jax.checkpoint resnet stages
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -119,6 +120,7 @@ class Decoder(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         rev_channels = list(reversed(self.num_channels))
         rev_res = list(reversed(res_blocks))
+        res_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
         h = conv(rev_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(z)
         if self.with_decoder_nonlocal_attn:
@@ -146,7 +148,7 @@ class Decoder(nn.Module):
             )(h)
         for i in range(n):
             for j in range(rev_res[i]):
-                h = ResnetBlock(
+                h = res_cls(
                     spatial_dims=self.spatial_dims,
                     out_channels=rev_channels[i],
                     norm_num_groups=self.norm_num_groups,

@@ -54,6 +54,7 @@ class DiffusionModelDecoder(nn.Module):
     transformer_num_layers: int = 1
     cross_attention_dim: Optional[int] = None
     upcast_attention: bool = False
+    remat: bool = False  # jax.checkpoint resnet/attention stages
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -69,9 +70,13 @@ class DiffusionModelDecoder(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
+        res_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        attn_cls = nn.remat(SpatialTransformer, static_argnums=(3,)) if self.remat else SpatialTransformer
+        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if self.remat else MidBlock
+
         h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(z)
 
-        h = MidBlock(
+        h = mid_cls(
             spatial_dims=self.spatial_dims,
             in_channels=self.num_channels[0],
             norm_num_groups=self.norm_num_groups,
@@ -83,11 +88,11 @@ class DiffusionModelDecoder(nn.Module):
             upcast_attention=self.upcast_attention,
             dtype=self.dtype,
             name="mid",
-        )(h, context=context, deterministic=deterministic)
+        )(h, context, deterministic)
 
         for i in range(n):
             for j in range(res_blocks[i]):
-                h = ResnetBlock(
+                h = res_cls(
                     spatial_dims=self.spatial_dims,
                     out_channels=self.num_channels[i],
                     norm_num_groups=self.norm_num_groups,
@@ -97,7 +102,7 @@ class DiffusionModelDecoder(nn.Module):
                 )(h)
                 if self.attention_levels[i] and self.with_conditioning:
                     n_heads, head_dim = heads_for(self.num_channels[i], head_channels[i])
-                    h = SpatialTransformer(
+                    h = attn_cls(
                         spatial_dims=self.spatial_dims,
                         in_channels=self.num_channels[i],
                         num_attention_heads=n_heads,
@@ -109,7 +114,7 @@ class DiffusionModelDecoder(nn.Module):
                         upcast_attention=self.upcast_attention,
                         dtype=self.dtype,
                         name=f"up_{i}_attn_{j}",
-                    )(h, context=context, deterministic=deterministic)
+                    )(h, context, deterministic)
             if i != n - 1:
                 if self.resblock_updown:
                     h = ResnetBlock(

@@ -56,6 +56,7 @@ class DiffusionModelEncoder(nn.Module):
     head_hidden: int = 512
     head_dropout: float = 0.1
     s2d: bool = False  # space-to-depth level 0 (exact; needs resblock_updown, no L0 attention)
+    remat: bool = False  # jax.checkpoint each down block
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -79,12 +80,13 @@ class DiffusionModelEncoder(nn.Module):
         else:
             h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
 
+        down_cls = nn.remat(DownBlock, static_argnums=(3,)) if self.remat else DownBlock
         for i in range(n):
             # mlp head: downsample at every level (reference behaviour,
             # atten_unet_model.py:1966). spatial head: keep the final level's
             # resolution so encoder/decoder scale factors compose.
             add_down = True if self.head == "mlp" else (i != n - 1)
-            h, _ = DownBlock(
+            h, _ = down_cls(
                 spatial_dims=self.spatial_dims,
                 out_channels=self.num_channels[i],
                 num_res_blocks=res_blocks[i],
@@ -100,7 +102,7 @@ class DiffusionModelEncoder(nn.Module):
                 packed=self.s2d and i == 0,
                 dtype=self.dtype,
                 name=f"down_{i}",
-            )(h, context=context, deterministic=deterministic)
+            )(h, context, deterministic)
 
         if self.head == "spatial":
             h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)

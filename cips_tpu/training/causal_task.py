@@ -43,16 +43,21 @@ class CausalState:
     step: jnp.ndarray
 
 
-def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bfloat16):
+def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bfloat16, remat: bool = True):
+    """``remat`` defaults on — the causal trio at the (96,128,96) working
+    volume exceeds HBM without per-block rematerialisation."""
     enc_def = dict(model_cfg["t1_autoencoder_def"]["atten_encoder"])
     enc_def["cross_attention_dim"] = max(n_covariates, 1)
+    enc_def.setdefault("remat", remat)
     encoder = DiffusionModelEncoder(head="spatial", dtype=dtype, **enc_def)
 
     t1_dec_def = dict(model_cfg["t1_autoencoder_def"]["decoder"])
+    t1_dec_def.setdefault("remat", remat)
     t1_decoder = Decoder(dtype=dtype, **t1_dec_def)
 
     pet_def = dict(model_cfg["pet_decoder_def"])
     pet_def["cross_attention_dim"] = max(n_covariates, 1)
+    pet_def.setdefault("remat", remat)
     pet_decoder = DiffusionModelDecoder(dtype=dtype, **pet_def)
 
     discriminator = PatchDiscriminator(dtype=dtype, **model_cfg.get("discriminator", {}))
