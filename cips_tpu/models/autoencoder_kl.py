@@ -21,7 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cips_tpu.models.blocks import AttentionBlock, GroupNorm, ResnetBlock, Upsample, conv
+from cips_tpu.models.blocks import AttentionBlock, GroupNorm, PackedConv, PackedUpsample, ResnetBlock, Upsample, conv
+from cips_tpu.ops.s2d import depth_to_space
 
 
 def _tuplify(v, n: int) -> Tuple:
@@ -112,6 +113,7 @@ class Decoder(nn.Module):
     with_encoder_nonlocal_attn: bool = False  # config parity; encoder-side flag
     with_decoder_nonlocal_attn: bool = False
     remat: bool = False  # jax.checkpoint resnet stages
+    s2d: bool = False  # space-to-depth finest level (exact)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -147,23 +149,35 @@ class Decoder(nn.Module):
                 name="mid_res_2",
             )(h)
         for i in range(n):
+            finest_packed = self.s2d and i == n - 1
             for j in range(rev_res[i]):
                 h = res_cls(
                     spatial_dims=self.spatial_dims,
                     out_channels=rev_channels[i],
                     norm_num_groups=self.norm_num_groups,
                     norm_eps=self.norm_eps,
+                    packed="all" if finest_packed else "none",
                     dtype=self.dtype,
                     name=f"up_{i}_res_{j}",
                 )(h)
             if i != n - 1:
-                h = Upsample(
-                    spatial_dims=self.spatial_dims,
-                    use_conv=True,
-                    out_channels=rev_channels[i],
-                    dtype=self.dtype,
-                    name=f"up_{i}_us",
-                )(h)
+                if self.s2d and i == n - 2:
+                    h = PackedUpsample(
+                        out_channels=rev_channels[i], dtype=self.dtype, name=f"up_{i}_us"
+                    )(h)
+                else:
+                    h = Upsample(
+                        spatial_dims=self.spatial_dims,
+                        use_conv=True,
+                        out_channels=rev_channels[i],
+                        dtype=self.dtype,
+                        name=f"up_{i}_us",
+                    )(h)
+        if self.s2d:
+            h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=True, name="out_norm")(h)
+            h = nn.silu(h)
+            h = PackedConv(self.out_channels, 3, dtype=self.dtype, name="conv_out")(h)
+            return depth_to_space(h)
         h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
         h = nn.silu(h)
         return conv(self.out_channels, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_out")(h)

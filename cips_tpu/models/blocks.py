@@ -189,6 +189,22 @@ class Upsample(nn.Module):
         return x
 
 
+class PackedUpsample(nn.Module):
+    """Nearest x2 upsample + conv, producing a space-to-depth output.
+
+    Parameter tree matches `Upsample` (child conv named "conv"), so packed
+    and unpacked models share checkpoints. phase_tile == nearest x2 on the
+    full grid (ops/s2d.py)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = phase_tile(x)
+        return PackedConv(self.out_channels, 3, dtype=self.dtype, name="conv")(x)
+
+
 class ResnetBlock(nn.Module):
     """GN -> SiLU -> (up/down) -> conv -> GN -> SiLU -> zero-conv, + skip.
 

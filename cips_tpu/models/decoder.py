@@ -25,12 +25,15 @@ import jax.numpy as jnp
 from cips_tpu.models.blocks import (
     GroupNorm,
     MidBlock,
+    PackedConv,
+    PackedUpsample,
     ResnetBlock,
     SpatialTransformer,
     Upsample,
     conv,
     heads_for,
 )
+from cips_tpu.ops.s2d import depth_to_space
 
 
 def _tuplify(v, n: int) -> Tuple:
@@ -55,6 +58,7 @@ class DiffusionModelDecoder(nn.Module):
     cross_attention_dim: Optional[int] = None
     upcast_attention: bool = False
     remat: bool = False  # jax.checkpoint resnet/attention stages
+    s2d: bool = False  # space-to-depth finest level (exact; no attention there)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -67,6 +71,8 @@ class DiffusionModelDecoder(nn.Module):
         if context is not None and not self.with_conditioning:
             raise ValueError("context requires with_conditioning=True")
         n = len(self.num_channels)
+        if self.s2d and (self.attention_levels[-1] or self.spatial_dims != 3 or n < 2):
+            raise ValueError("s2d needs a 3-D, attention-free finest level")
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
@@ -91,12 +97,14 @@ class DiffusionModelDecoder(nn.Module):
         )(h, context, deterministic)
 
         for i in range(n):
+            finest_packed = self.s2d and i == n - 1
             for j in range(res_blocks[i]):
                 h = res_cls(
                     spatial_dims=self.spatial_dims,
                     out_channels=self.num_channels[i],
                     norm_num_groups=self.norm_num_groups,
                     norm_eps=self.norm_eps,
+                    packed="all" if finest_packed else "none",
                     dtype=self.dtype,
                     name=f"up_{i}_resnet_{j}",
                 )(h)
@@ -116,6 +124,7 @@ class DiffusionModelDecoder(nn.Module):
                         name=f"up_{i}_attn_{j}",
                     )(h, context, deterministic)
             if i != n - 1:
+                to_packed = self.s2d and i == n - 2
                 if self.resblock_updown:
                     h = ResnetBlock(
                         spatial_dims=self.spatial_dims,
@@ -123,7 +132,13 @@ class DiffusionModelDecoder(nn.Module):
                         up=True,
                         norm_num_groups=self.norm_num_groups,
                         norm_eps=self.norm_eps,
+                        packed="up" if to_packed else "none",
                         dtype=self.dtype,
+                        name=f"up_{i}_upsampler",
+                    )(h)
+                elif to_packed:
+                    h = PackedUpsample(
+                        out_channels=self.num_channels[i], dtype=self.dtype,
                         name=f"up_{i}_upsampler",
                     )(h)
                 else:
@@ -135,6 +150,13 @@ class DiffusionModelDecoder(nn.Module):
                         name=f"up_{i}_upsampler",
                     )(h)
 
+        if self.s2d:
+            h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=True, name="out_norm")(h)
+            h = nn.silu(h)
+            h = PackedConv(
+                self.out_channels, 3, zero_init=True, dtype=self.dtype, name="conv_out"
+            )(h)
+            return depth_to_space(h)
         h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
         h = nn.silu(h)
         return conv(

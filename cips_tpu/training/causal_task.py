@@ -53,11 +53,16 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
 
     t1_dec_def = dict(model_cfg["t1_autoencoder_def"]["decoder"])
     t1_dec_def.setdefault("remat", remat)
+    t1_dec_def.setdefault("s2d", t1_dec_def.get("spatial_dims", 3) == 3
+                           and len(t1_dec_def.get("num_channels", [])) >= 2)
     t1_decoder = Decoder(dtype=dtype, **t1_dec_def)
 
     pet_def = dict(model_cfg["pet_decoder_def"])
     pet_def["cross_attention_dim"] = max(n_covariates, 1)
     pet_def.setdefault("remat", remat)
+    pet_def.setdefault("s2d", pet_def.get("spatial_dims", 3) == 3
+                       and len(pet_def.get("num_channels", [])) >= 2
+                       and not list(pet_def.get("attention_levels", [True]))[-1])
     pet_decoder = DiffusionModelDecoder(dtype=dtype, **pet_def)
 
     discriminator = PatchDiscriminator(dtype=dtype, **model_cfg.get("discriminator", {}))

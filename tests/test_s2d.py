@@ -145,3 +145,46 @@ def test_encoder_s2d_equivalence():
         np.asarray(plain.apply(params, x)),
         atol=2e-5, rtol=2e-5,
     )
+
+
+def test_diffusion_decoder_s2d_equivalence():
+    from cips_tpu.models.decoder import DiffusionModelDecoder
+
+    kwargs = dict(
+        in_channels=3,
+        out_channels=1,
+        num_channels=(16, 16, 8),
+        num_res_blocks=1,
+        attention_levels=(True, False, False),
+        norm_num_groups=8,
+        num_head_channels=(8, 0, 0),
+        with_conditioning=True,
+        cross_attention_dim=4,
+    )
+    plain = DiffusionModelDecoder(**kwargs)
+    packed = DiffusionModelDecoder(s2d=True, **kwargs)
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.standard_normal((1, 2, 4, 2, 3)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 4)), jnp.float32)
+    params = plain.init(jax.random.key(0), z, ctx)
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(params, z, ctx)),
+        np.asarray(plain.apply(params, z, ctx)),
+        atol=2e-5, rtol=2e-5,
+    )
+
+
+def test_vae_decoder_s2d_equivalence():
+    from cips_tpu.models.autoencoder_kl import Decoder
+
+    kwargs = dict(num_channels=(8, 8, 8), num_res_blocks=1, norm_num_groups=8)
+    plain = Decoder(**kwargs)
+    packed = Decoder(s2d=True, **kwargs)
+    rng = np.random.default_rng(12)
+    z = jnp.asarray(rng.standard_normal((1, 2, 2, 2, 3)), jnp.float32)
+    params = plain.init(jax.random.key(0), z)
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(params, z)),
+        np.asarray(plain.apply(params, z)),
+        atol=2e-5, rtol=2e-5,
+    )
