@@ -53,8 +53,12 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
 
     t1_dec_def = dict(model_cfg["t1_autoencoder_def"]["decoder"])
     t1_dec_def.setdefault("remat", remat)
+    # s2d is a pure win only for <=16-channel finest levels (8x lane gain
+    # cancels the 8x dense-packed MACs); at 32 channels it trades throughput
+    # for memory — measured 1.24 vol/s (batch 1, off) vs 0.93 (batch 2, on).
     t1_dec_def.setdefault("s2d", t1_dec_def.get("spatial_dims", 3) == 3
-                           and len(t1_dec_def.get("num_channels", [])) >= 2)
+                           and len(t1_dec_def.get("num_channels", [])) >= 2
+                           and min(t1_dec_def.get("num_channels", [999])) <= 16)
     t1_decoder = Decoder(dtype=dtype, **t1_dec_def)
 
     pet_def = dict(model_cfg["pet_decoder_def"])
@@ -62,7 +66,8 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
     pet_def.setdefault("remat", remat)
     pet_def.setdefault("s2d", pet_def.get("spatial_dims", 3) == 3
                        and len(pet_def.get("num_channels", [])) >= 2
-                       and not list(pet_def.get("attention_levels", [True]))[-1])
+                       and not list(pet_def.get("attention_levels", [True]))[-1]
+                       and min(pet_def.get("num_channels", [999])) <= 16)
     pet_decoder = DiffusionModelDecoder(dtype=dtype, **pet_def)
 
     discriminator = PatchDiscriminator(dtype=dtype, **model_cfg.get("discriminator", {}))

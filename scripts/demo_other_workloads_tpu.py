@@ -8,7 +8,7 @@ from cips_tpu.training import causal_task, classifier_task
 
 def main():
     rng = np.random.default_rng(0)
-    shape = (2, 96, 128, 96, 1)
+    shape = (1, 96, 128, 96, 1)  # best measured causal throughput (see BENCH_NOTES)
 
     # causal generator (reference config, 5 covariates AV45)
     cfg = common.load_config(None, "training_causal.json")
@@ -18,13 +18,13 @@ def main():
     step = jax.jit(causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, cfg["training"]), donate_argnums=0)
     batch = {"t1": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
              "pet": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
-             "info": jnp.asarray(rng.random((2,1,5), np.float32), jnp.bfloat16)}
+             "info": jnp.asarray(rng.random((1,1,5), np.float32), jnp.bfloat16)}
     t0=time.time(); state, m = step(state, batch, jax.random.key(1)); v=float(m["rec_pet_loss"])
     print(f"causal compile+step {time.time()-t0:.0f}s rec_pet={v:.4f}", flush=True)
     t0=time.perf_counter()
     for i in range(5): state, m = step(state, batch, jax.random.key(i))
     float(m["rec_pet_loss"]); dt=(time.perf_counter()-t0)/5
-    print(f"causal step: {dt*1000:.0f} ms -> {2/dt:.2f} vol/s (batch 2)", flush=True)
+    print(f"causal step: {dt*1000:.0f} ms -> {1/dt:.2f} vol/s (batch 1)", flush=True)
 
     # classifier (reference atten config)
     ccfg = common.load_config(None, "training_atten.json")
