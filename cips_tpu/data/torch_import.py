@@ -187,6 +187,47 @@ def import_atten_unet(state_dict: Mapping[str, Any], num_levels: int, transforme
     return out
 
 
+def import_diffusion_encoder(
+    state_dict: Mapping[str, Any], num_levels: int, transformer_num_layers: int = 1
+) -> Dict:
+    """torch DiffusionModelEncoder (classifier) state_dict -> flax params.
+
+    Shares AttenUNet's stem/down-block naming; the head is
+    Sequential(Linear, ReLU, Dropout, Linear) -> out.0 / out.3
+    (atten_unet_model.py:1987 -> fc1 / fc2). The vestigial time_embed
+    parameters are ignored (the time path is dead in the reference,
+    SURVEY.md §2.3)."""
+    sd = strip_ddp_prefix(state_dict)
+    out: Dict = {}
+    _map_conv(out, "conv_in", "conv_in", sd)
+    for i in range(num_levels):
+        bt = f"down_blocks.{i}"
+        bf = f"down_{i}"
+        j = 0
+        while _has(sd, f"{bt}.resnets.{j}."):
+            _map_resnet(out, f"{bt}.resnets.{j}", f"{bf}/resnet_{j}", sd)
+            j += 1
+        j = 0
+        while _has(sd, f"{bt}.attentions.{j}."):
+            pt = f"{bt}.attentions.{j}"
+            pf = f"{bf}/attn_{j}"
+            if _has(sd, f"{pt}.transformer_blocks."):
+                _map_spatial_transformer(out, pt, pf, sd, transformer_num_layers)
+            else:
+                _map_attention_block(out, pt, pf, sd)
+            j += 1
+        if _has(sd, f"{bt}.downsampler.norm1"):
+            _map_resnet(out, f"{bt}.downsampler", f"{bf}/downsampler", sd)
+        elif _has(sd, f"{bt}.downsampler.op"):
+            _map_conv(out, f"{bt}.downsampler.op", f"{bf}/downsampler/op", sd)
+    if "out.0.weight" in sd:
+        _set(out, "fc1/kernel", _lin_w(sd["out.0.weight"]))
+        _set(out, "fc1/bias", _np(sd["out.0.bias"]))
+        _set(out, "fc2/kernel", _lin_w(sd["out.3.weight"]))
+        _set(out, "fc2/bias", _np(sd["out.3.bias"]))
+    return out
+
+
 def import_checkpoint(path: str, num_levels: int, transformer_num_layers: int = 1) -> Dict[str, Any]:
     """Load a reference .ckpt; returns {"unet": flax_params_subtree,
     "epoch": int, "raw": full torch dict}."""

@@ -168,3 +168,20 @@ def test_ms_ssim_small_volume_no_nan():
     a = jnp.asarray(rng.random((32, 32, 32)), jnp.float32)
     v = float(ms_ssim(a, a))  # default kernel 11 would exceed 5-scale size
     assert np.isfinite(v) and v == pytest.approx(1.0, abs=1e-4)
+
+
+def test_mi_registration_cross_modality():
+    """PET<->T1-style registration: intensities nonlinearly related, so NCC is
+    the wrong metric and MI must still recover the shift (the reason ANTs'
+    rigid `reg` uses MI — preprocess/reg_to_T1.py:11-13)."""
+    rng = np.random.default_rng(11)
+    base = ndi.gaussian_filter(rng.random((20, 20, 20)).astype(np.float32), 2.0)
+    base = (base - base.min()) / (base.max() - base.min())
+    # "other modality": inverted + squashed intensities of the same anatomy
+    other = 1.0 / (1.0 + np.exp(4.0 * (base - 0.5)))
+    matrix = jnp.eye(3, 4).at[1, 3].set(2.0)
+    fixed = affine_warp(jnp.asarray(other), matrix)
+    res = register_rigid(
+        jnp.asarray(base), fixed, metric="mi", pyramid=(1,), iters_per_level=120, lr=0.1
+    )
+    assert res.params[4] == pytest.approx(2.0, abs=0.6)

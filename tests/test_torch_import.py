@@ -142,3 +142,39 @@ def test_import_round_trip():
     # imported params drive the model
     y = model.apply(imported, x, ctx)
     np.testing.assert_allclose(np.asarray(y), np.asarray(model.apply(params, x, ctx)), atol=1e-6)
+
+
+def test_import_encoder_round_trip():
+    from cips_tpu.data.torch_import import import_diffusion_encoder
+    from cips_tpu.models.encoder import DiffusionModelEncoder
+
+    model = DiffusionModelEncoder(
+        in_channels=2,
+        out_channels=2,
+        num_channels=(8, 8),
+        num_res_blocks=1,
+        attention_levels=(False, True),
+        norm_num_groups=8,
+        num_head_channels=(0, 4),
+        resblock_updown=True,
+        head="mlp",
+    )
+    x = jnp.ones((1, 8, 8, 8, 2))
+    params = model.init(jax.random.key(0), x)
+
+    sd = flax_to_torch_sd(params)
+    # rename the flax head (fc1/fc2) to the reference's Sequential indices
+    renames = {"fc1.weight": "out.0.weight", "fc1.bias": "out.0.bias",
+               "fc2.weight": "out.3.weight", "fc2.bias": "out.3.bias"}
+    sd = {renames.get(k, k): v for k, v in sd.items()}
+    imported = {"params": import_diffusion_encoder(sd, num_levels=2)}
+
+    flat_orig = {jax.tree_util.keystr(k): np.asarray(v)
+                 for k, v in jax.tree_util.tree_leaves_with_path(params)}
+    flat_imp = {jax.tree_util.keystr(k): np.asarray(v)
+                for k, v in jax.tree_util.tree_leaves_with_path(imported)}
+    assert set(flat_orig) == set(flat_imp)
+    for k in flat_orig:
+        np.testing.assert_array_equal(flat_imp[k], flat_orig[k], err_msg=k)
+    y = model.apply(imported, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(model.apply(params, x)), atol=1e-6)
