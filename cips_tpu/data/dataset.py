@@ -112,8 +112,10 @@ class PairedVolumeDataset:
         min_and_max: Optional[Mapping[str, Tuple[float, float]]] = None,
         pet_name: Optional[str] = None,
         invert_abeta: bool = False,
+        resize_size: Optional[Sequence[int]] = None,
     ):
         self.crop_size = tuple(crop_size)
+        self.resize_size = tuple(resize_size) if resize_size else None
         self.need_values = list(need_values)
         self.min_and_max = dict(min_and_max or {})
         self.invert_abeta = invert_abeta
@@ -138,15 +140,24 @@ class PairedVolumeDataset:
         return len(self.rows)
 
     def _load(self, path: str) -> np.ndarray:
-        """Decode + pad/crop + max-normalise, via the native C++ runtime when
-        available (single fused pass), else the pure-Python path."""
-        if _native() is not None:
+        """Decode + pad/crop [+ resize] + max-normalise, via the native C++
+        runtime when available (single fused pass), else pure Python.
+        ``resize_size`` reproduces pair_PET_T1dataset's optional Resize
+        (dataset.py:88-90)."""
+        if self.resize_size is None and _native() is not None:
             try:
                 return _native().decode(path, self.crop_size, normalize=True)
             except Exception:
                 pass
         vol = nifti.read_array(path).astype(np.float32)
-        return max_normalize_np(pad_crop_np(vol, self.crop_size))
+        vol = pad_crop_np(vol, self.crop_size)
+        if self.resize_size is not None:
+            import jax.numpy as jnp
+
+            from cips_tpu.ops.resample import resize_trilinear
+
+            vol = np.asarray(resize_trilinear(jnp.asarray(vol), self.resize_size))
+        return max_normalize_np(vol)
 
     def __getitem__(self, index: int) -> Sample:
         row = self.rows[index]

@@ -113,7 +113,12 @@ def read(path: str) -> NiftiImage:
 
 
 def read_array(path: str) -> np.ndarray:
-    return read(path).data
+    """Volume data as (z, y, x); singleton leading (time/frame) axes of 4-D
+    files are squeezed (some ADNI exports store 3-D volumes as (x, y, z, 1))."""
+    data = read(path).data
+    while data.ndim > 3 and data.shape[0] == 1:
+        data = data[0]
+    return data
 
 
 def write(path: str, img: NiftiImage | np.ndarray) -> None:

@@ -250,3 +250,24 @@ def test_paired_latent_dataset(tmp_path):
     assert t1.shape == (8, 8, 8)
     np.testing.assert_array_equal(latent, lat)
     assert subject == "s1"
+
+
+def test_dataset_resize_and_4d_squeeze(tmp_path):
+    rows = [PairRow("s1", "2011-01-01", "2011-01-10")]
+    csv_path = str(tmp_path / "pairs.csv")
+    write_manifest(csv_path, rows)
+    # 4-D volume with singleton frame axis
+    rng = np.random.default_rng(5)
+    for base, date in (("t1", "2011-01-01"), ("pet", "2011-01-10")):
+        d = tmp_path / base / "s1" / date
+        d.mkdir(parents=True)
+        nifti.write(str(d / "img.nii.gz"), rng.random((1, 10, 12, 10)).astype(np.float32))
+    assert nifti.read_array(str(tmp_path / "t1" / "s1" / "2011-01-01" / "img.nii.gz")).shape == (10, 12, 10)
+
+    ds = PairedVolumeDataset(
+        csv_path, pet_dir=str(tmp_path / "pet"), t1_dir=str(tmp_path / "t1"),
+        crop_size=(8, 8, 8), resize_size=(4, 4, 4),
+    )
+    s = ds[0]
+    assert s.t1.shape == (4, 4, 4)
+    assert s.t1.max() <= 1.0 + 1e-6
