@@ -57,6 +57,8 @@ class AttenUNet(nn.Module):
     use_flash_attention: bool = False  # accepted for config parity; Pallas dispatch is automatic
     dropout_cattn: float = 0.0
     remat: bool = False  # jax.checkpoint each block: ~4x less activation HBM, ~1.3x FLOPs
+    remat_skip_coarsest: int = 0  # store (not remat) the N coarsest levels + mid: their
+    # activations are tiny but their recompute is not free
     s2d: bool = False  # space-to-depth level 0: exact math, 128-lane tensors (BENCH_NOTES.md)
     dtype: jnp.dtype = jnp.float32
 
@@ -103,16 +105,19 @@ class AttenUNet(nn.Module):
 
         # remat: recompute block interiors in the backward pass; only block
         # boundaries (the skip tensors) stay live in HBM.
-        down_cls = nn.remat(DownBlock, static_argnums=(3,)) if self.remat else DownBlock
-        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if self.remat else MidBlock
-        up_cls = nn.remat(UpBlock, static_argnums=(4,)) if self.remat else UpBlock
+        skip = self.remat_skip_coarsest
+        def down_cls(i):
+            return nn.remat(DownBlock, static_argnums=(3,)) if (self.remat and i < n - skip) else DownBlock
+        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if (self.remat and skip == 0) else MidBlock
+        def up_cls(i):  # up block i operates at level n-1-i (coarse first)
+            return nn.remat(UpBlock, static_argnums=(4,)) if (self.remat and i >= skip) else UpBlock
 
         # down path — collect skip residuals, starting with the stem output
         # (reference: atten_unet_model.py:1822-1829)
         residuals = [h]
         for i in range(n):
             is_final = i == n - 1
-            h, outs = down_cls(
+            h, outs = down_cls(i)(
                 spatial_dims=self.spatial_dims,
                 out_channels=self.num_channels[i],
                 num_res_blocks=res_blocks[i],
@@ -164,7 +169,7 @@ class AttenUNet(nn.Module):
             is_final = i == n - 1
             take = rev_res[i] + 1
             skips, residuals = residuals[-take:], residuals[:-take]
-            h = up_cls(
+            h = up_cls(i)(
                 spatial_dims=self.spatial_dims,
                 out_channels=rev_channels[i],
                 num_res_blocks=take,
