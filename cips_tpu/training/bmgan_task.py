@@ -105,16 +105,18 @@ def make_train_step(
         fake = jax.lax.stop_gradient(aux["fake"])
 
         def e_loss_fn(e_params):
-            mu_r, logvar_r = encoder.apply(e_params, pet)
-            mu_f, logvar_f = encoder.apply(e_params, fake)
+            # one batched E pass over [real; fake]
+            mu, logvar = encoder.apply(e_params, jnp.concatenate([pet, fake], axis=0))
+            mu_r, mu_f = jnp.split(mu, 2, axis=0)
+            logvar_r, logvar_f = jnp.split(logvar, 2, axis=0)
             return kl_divergence(mu_r, logvar_r) + kl_divergence(mu_f, logvar_f)
 
         e_loss, e_grads = jax.value_and_grad(e_loss_fn)(state.e.params)
         new_e = state.e.apply_gradients(e_grads)
 
         def d_loss_fn(d_params):
-            logits_fake = discriminator.apply(d_params, fake)
-            logits_real = discriminator.apply(d_params, pet)
+            logits = discriminator.apply(d_params, jnp.concatenate([fake, pet], axis=0))
+            logits_fake, logits_real = jnp.split(logits, 2, axis=0)
             return lsgan_discriminator_loss(logits_fake, logits_real)
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d.params)

@@ -182,8 +182,8 @@ def make_train_step(
             fake = jax.lax.stop_gradient(aux["fake"])
 
             def d_loss_fn(d_params):
-                logits_fake = discriminator.apply(d_params, fake)[-1]
-                logits_real = discriminator.apply(d_params, pet)[-1]
+                logits = discriminator.apply(d_params, jnp.concatenate([fake, pet], axis=0))[-1]
+                logits_fake, logits_real = jnp.split(logits, 2, axis=0)
                 return lsgan_discriminator_loss(logits_fake, logits_real)
 
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d.params)

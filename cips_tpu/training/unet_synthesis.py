@@ -151,8 +151,11 @@ def make_train_step(
             fake = jax.lax.stop_gradient(aux["fake"])
 
             def d_loss_fn(d_params):
-                logits_fake = discriminator.apply(d_params, fake)[-1]
-                logits_real = discriminator.apply(d_params, pet)[-1]
+                # one batched D pass over [fake; real] — identical math
+                # (PatchGAN is per-sample: convs + InstanceNorm), half the
+                # kernel launches of the reference's two passes (:175-184)
+                logits = discriminator.apply(d_params, jnp.concatenate([fake, pet], axis=0))[-1]
+                logits_fake, logits_real = jnp.split(logits, 2, axis=0)
                 return lsgan_discriminator_loss(logits_fake, logits_real)
 
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d.params)
