@@ -57,6 +57,9 @@ def add_common_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--crop_size", type=int, nargs=3, default=[96, 128, 96],
                    help="working volume shape (train_unet.py:111)")
+    p.add_argument("--streaming", action="store_true",
+                   help="decode NIfTIs on the fly via the native prefetch pool "
+                        "instead of packing to memory-mapped arrays")
 
 
 def load_stats(path: Optional[str]) -> Dict:
@@ -74,11 +77,29 @@ def make_loaders(args, need_values, crop_size=None):
         BatchLoader,
         PackedDataset,
         PairedVolumeDataset,
+        StreamingLoader,
         pack_pairs,
     )
 
     if crop_size is None:
         crop_size = tuple(getattr(args, "crop_size", (96, 128, 96)))
+
+    if getattr(args, "streaming", False):
+        def make_ds(info_csv):
+            return PairedVolumeDataset(
+                info_csv, pet_dir=args.PET_dir, t1_dir=args.T1_dir,
+                crop_size=crop_size, need_values=need_values,
+                min_and_max=load_stats(args.min_and_max),
+            )
+        train_loader = StreamingLoader(
+            make_ds(args.training_info_csv), args.batch_size, seed=args.seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        eval_loader = StreamingLoader(
+            make_ds(args.eval_info_csv), 1, shuffle=False, drop_last=False,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        return train_loader, eval_loader
 
     def ensure_packed(info_csv, packed_dir, tag):
         if packed_dir and os.path.exists(os.path.join(packed_dir, "volumes.npy")):

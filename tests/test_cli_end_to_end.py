@@ -116,3 +116,30 @@ def test_full_cli_pipeline(adni_tree, tmp_path):
     ])
     assert out["count"] >= 1
     assert np.isfinite(out["mae_mean"])
+
+
+def test_train_cli_streaming_mode(adni_tree, tmp_path):
+    """--streaming drives the native prefetch pool instead of packing."""
+    import json as _json
+
+    from cips_tpu.cli import train_unet as train_cli
+
+    work = str(tmp_path)
+    from cips_tpu.cli import preprocess as pre_cli
+
+    pre_cli.main([
+        "pair", "--PET_dir", adni_tree["pet"], "--T1_dir", adni_tree["t1"],
+        "--out_dir", work, "--train_frac", "0.67",
+    ])
+    cfg_path = os.path.join(work, "cfg.json")
+    _json.dump(TINY_MODEL_CFG, open(cfg_path, "w"))
+    exp_dir = os.path.join(work, "exp")
+    train_cli.main([
+        "--exp_dir", exp_dir, "--config", cfg_path,
+        "--training_info_csv", os.path.join(work, "pair_training.csv"),
+        "--eval_info_csv", os.path.join(work, "pair_test.csv"),
+        "--PET_dir", adni_tree["pet"], "--T1_dir", adni_tree["t1"],
+        "--crop_size", "8", "16", "8", "--batch_size", "2", "--dtype", "f32",
+        "--streaming", "--epochs", "1", "--max_steps", "1", "--save_every", "1",
+    ])
+    assert os.path.exists(os.path.join(exp_dir, "unconditional", "AV45", "ckpt", "meta.json"))
