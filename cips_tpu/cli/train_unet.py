@@ -40,6 +40,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_space", type=int, default=1, help="spatial-shard mesh axis size")
     p.add_argument("--max_steps", type=int, default=0, help="debug: stop after N steps")
     p.add_argument("--profile_dir", default=None, help="capture a jax.profiler trace of steps 10-15")
+    p.add_argument("--nan_guard", action="store_true",
+                   help="discard parameter updates on non-finite loss (failure detection)")
     return p
 
 
@@ -77,9 +79,14 @@ def main(argv=None):
     writer = MetricWriter(dirs["log"], enabled=is_lead)
     timer = StepTimer()
 
-    step_fn = jax.jit(unet_synthesis.make_train_step(
+    raw_step = unet_synthesis.make_train_step(
         generator, discriminator, perceptual, train_cfg, use_condition=args.use_condition
-    ), donate_argnums=0)
+    )
+    if args.nan_guard:
+        from cips_tpu.training.common import guard_nonfinite
+
+        raw_step = guard_nonfinite(raw_step)
+    step_fn = jax.jit(raw_step, donate_argnums=0)
     eval_fn = jax.jit(unet_synthesis.make_eval_step(
         generator, discriminator, perceptual, train_cfg, use_condition=args.use_condition
     ))
