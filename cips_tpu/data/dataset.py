@@ -404,7 +404,6 @@ class StreamingLoader:
 
         if self._prefetcher is not None:
             self._prefetcher.submit([int(i) for i in order])
-            pending: Dict[int, np.ndarray] = {}
             served = 0
             batch_vols, batch_idx = [], []
             while served < len(order):
