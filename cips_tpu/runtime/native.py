@@ -19,7 +19,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "nifti_loader.cpp")
-_LIB = os.path.join(_DIR, "libcips_runtime.so")
+_BUILD_DIR = os.path.join(_DIR, "build")
+_LIB = os.path.join(_BUILD_DIR, "libcips_runtime.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
@@ -28,6 +29,7 @@ def build(force: bool = False) -> str:
     """Compile the runtime library if needed. Returns the .so path."""
     if not force and os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
+    os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         "-o", _LIB, _SRC, "-lz", "-lpthread",
