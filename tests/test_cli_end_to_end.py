@@ -140,6 +140,6 @@ def test_train_cli_streaming_mode(adni_tree, tmp_path):
         "--eval_info_csv", os.path.join(work, "pair_test.csv"),
         "--PET_dir", adni_tree["pet"], "--T1_dir", adni_tree["t1"],
         "--crop_size", "8", "16", "8", "--batch_size", "2", "--dtype", "f32",
-        "--streaming", "--epochs", "1", "--max_steps", "1", "--save_every", "1",
+        "--streaming", "--nan_guard", "--epochs", "1", "--max_steps", "1", "--save_every", "1",
     ])
     assert os.path.exists(os.path.join(exp_dir, "unconditional", "AV45", "ckpt", "meta.json"))
