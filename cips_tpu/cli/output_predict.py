@@ -58,7 +58,8 @@ def main(argv=None):
     predict = jax.jit(unet_synthesis.make_predict_fn(generator, use_condition=args.use_condition))
     out_dir = None if args.no_write else (args.output_dir or os.path.join(dirs["base"], "predict"))
     results = predict_dataset(
-        lambda batch: predict(state.g.params, batch), dataset, output_dir=out_dir
+        lambda batch: predict(state.g.params, batch), dataset, output_dir=out_dir,
+        batch_size=max(args.batch_size, 1),
     )
     print(results)
     return results

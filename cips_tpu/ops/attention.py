@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 # Token count above which the Pallas fused kernel is preferred on TPU.
-# Below this, XLA's fused einsum/softmax is already bandwidth-optimal.
+# Measured on v5e (B8/H4/D32): 2304 tokens einsum 3.2 ms vs pallas 4.5 ms;
+# 4608 tokens einsum 21.4 ms vs pallas 13.4 ms — the crossover sits between.
 _PALLAS_MIN_TOKENS = 4096
 
 
