@@ -143,3 +143,52 @@ def test_train_cli_streaming_mode(adni_tree, tmp_path):
         "--streaming", "--nan_guard", "--epochs", "1", "--max_steps", "1", "--save_every", "1",
     ])
     assert os.path.exists(os.path.join(exp_dir, "unconditional", "AV45", "ckpt", "meta.json"))
+
+
+def test_train_cli_resume(adni_tree, tmp_path):
+    """--resume restores the checkpoint and continues from epoch+1 (§5.4)."""
+    from cips_tpu.cli import preprocess as pre_cli
+    from cips_tpu.cli import train_unet as train_cli
+
+    work = str(tmp_path)
+    pre_cli.main([
+        "pair", "--PET_dir", adni_tree["pet"], "--T1_dir", adni_tree["t1"],
+        "--out_dir", work, "--train_frac", "0.67",
+    ])
+    cfg_path = os.path.join(work, "cfg.json")
+    json.dump(TINY_MODEL_CFG, open(cfg_path, "w"))
+    exp_dir = os.path.join(work, "exp")
+    args = [
+        "--exp_dir", exp_dir, "--config", cfg_path,
+        "--training_info_csv", os.path.join(work, "pair_training.csv"),
+        "--eval_info_csv", os.path.join(work, "pair_test.csv"),
+        "--PET_dir", adni_tree["pet"], "--T1_dir", adni_tree["t1"],
+        "--crop_size", "8", "16", "8", "--batch_size", "2", "--dtype", "f32",
+        "--save_every", "1",
+    ]
+    train_cli.main(args + ["--epochs", "1"])
+    meta_path = os.path.join(exp_dir, "unconditional", "AV45", "ckpt", "meta.json")
+    assert json.load(open(meta_path))["last_epoch"] == 0
+
+    train_cli.main(args + ["--epochs", "2", "--resume"])
+    assert json.load(open(meta_path))["last_epoch"] == 1
+
+
+def test_no_attention_classifier_config_builds():
+    import jax
+    import jax.numpy as jnp
+
+    from cips_tpu.cli.common import load_config
+    from cips_tpu.training import classifier_task
+
+    cfg = load_config(None, "training_no_atten.json")
+    cfg = {"atten_encoder_def": {**cfg["atten_encoder_def"],
+                                 "num_channels": [8, 8], "num_res_blocks": 1,
+                                 "attention_levels": [False, False],
+                                 "num_head_channels": [0, 0], "norm_num_groups": 8}}
+    model = classifier_task.build_model(cfg, in_channels=1, n_covariates=5, dtype=jnp.float32)
+    x = jnp.ones((1, 8, 8, 8, 1))
+    ctx = jnp.ones((1, 1, 5))
+    params = model.init(jax.random.key(0), x, ctx)
+    logits = model.apply(params, x, ctx)
+    assert logits.shape == (1, 2)
