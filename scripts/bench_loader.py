@@ -1,4 +1,6 @@
 """Data-pipeline throughput: native decode vs python decode vs packed loader."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, time, tempfile
 import numpy as np
 

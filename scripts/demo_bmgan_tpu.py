@@ -1,4 +1,6 @@
 """TPU smoke for the BMGAN baseline at full volume (reference batch 1/GPU)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -1,4 +1,6 @@
 """TPU smoke for the causal generator and MCI classifier at full volume."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -1,6 +1,8 @@
 """End-to-end TPU demo: synthetic ADNI-like tree -> pack -> train (full
 (96,128,96) flagship, batch 8) -> predict -> folder metrics.
 Writes a summary to stdout; artifacts under DEMO_DIR."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json, os, shutil, time
 import numpy as np
 

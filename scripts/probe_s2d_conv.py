@@ -7,6 +7,8 @@ Compares, on TPU:
 (b) does 8x the FLOPs of (a); if it is not ~8x slower, layout/bandwidth
 dominates and the exact packed-level-0 transform is worth building.
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import time

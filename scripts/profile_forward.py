@@ -1,4 +1,6 @@
 """Cost-analysis + batch scaling of the flagship generator forward (TPU)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import time

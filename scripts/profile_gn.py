@@ -1,5 +1,7 @@
 """Forward time with GroupNorm computed directly in bf16 (no f32 casts)."""
 import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os, sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import time
 import jax, jax.numpy as jnp, numpy as np

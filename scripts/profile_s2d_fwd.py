@@ -1,4 +1,6 @@
 """Forward split at batch 8 with s2d (round-2 planning datum)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, time
 import jax, jax.numpy as jnp, numpy as np
 from __graft_entry__ import FLAGSHIP_CFG, N_COVARIATES, TRAIN_CFG

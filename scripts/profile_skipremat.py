@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, time, sys
 import jax, jax.numpy as jnp, numpy as np
 from __graft_entry__ import FLAGSHIP_CFG, N_COVARIATES, TRAIN_CFG

@@ -1,4 +1,6 @@
 """Isolate forward-time contributors: GN fp32 casts, attention, dtype."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import time
