@@ -59,8 +59,8 @@ def main(argv=None):
 
     global_step = 0
     rng = jax.random.key(args.seed + 1)
-    eval_loss = float("nan")
     for epoch in range(begin_epoch, args.epochs):
+        eval_loss = None  # only a metric computed THIS epoch may rank best-ckpt
         for batch in device_prefetch(train_loader.epoch(epoch), mesh):
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)

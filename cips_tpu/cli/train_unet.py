@@ -113,6 +113,7 @@ def main(argv=None):
             if args.max_steps and global_step >= args.max_steps:
                 break
 
+        eval_loss = None  # only a metric computed THIS epoch may rank best-ckpt
         if epoch % args.eval_every == 0:
             eval_losses = []
             sample_written = False

@@ -52,15 +52,23 @@ def resize_and_pad_pet_to_seg(
     scale: float = 1.5,
     reorient: bool = True,
 ) -> jax.Array:
-    """Push a (D, H, W) PET into FastSurfer conformed space
+    """Push a (z, y, x) PET into FastSurfer conformed space
     (apply_surfurseg_to_PET.py:10-26): trilinear x``scale`` upsample, pad to
     ``seg_shape``, then swap to seg axis order with the flips the reference
-    applies (axes (1, 2, 0) with reversals on the new axes 1 and 2)."""
-    scaled = tuple(int(round(s * scale)) for s in pet.shape)
+    applies.
+
+    The reference operates on ants arrays in (x, y, z) index order and does
+    ``np.swapaxes(a, 1, 2)[:, ::-1, ::-1]`` AFTER padding to the 256 cube
+    (apply_surfurseg_to_PET.py:18-22). Re-expressed in this package's
+    (z, y, x) convention that is ``swapaxes(a, 0, 1)[::-1, ::-1, :]``;
+    pad order is preserved (pad-then-reorient) so the asymmetric extra voxel
+    of an odd pad lands on the same side as the reference."""
+    scaled = tuple(int(s * scale) for s in pet.shape)
     pet = resize_trilinear(pet, scaled)
+    pet = pad_crop_to(pet, seg_shape, spatial_axes=(0, 1, 2))
     if reorient:
-        pet = jnp.transpose(pet, (1, 2, 0))[:, ::-1, ::-1]
-    return pad_crop_to(pet, seg_shape, spatial_axes=(0, 1, 2))
+        pet = jnp.swapaxes(pet, 0, 1)[::-1, ::-1, :]
+    return pet
 
 
 def suvr_abs_error(suvr_gt: jax.Array, suvr_synth: jax.Array) -> Tuple[jax.Array, jax.Array]:

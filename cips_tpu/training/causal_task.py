@@ -13,8 +13,11 @@ Losses (config training_causal.json:88-94; loop :240-252):
   t1_loss = L1(T1) + 0.001*KL(z_mu, z_sigma)   [z_sigma fed as logvar,
             exactly as the reference's kl_divergence(z_mu, z_sigma) does]
   one Adam over encoder + both decoders on (g_loss + t1_loss);
-  separate D step (:255-290) — here reusing the stop-gradiented fake
-  instead of a fresh encode/decode pass (saves a full E+decoder forward).
+  separate D step (:255-290). The reference re-encodes/decodes with the
+  POST-update generator so D sees a fresh fake; here the pre-update fake is
+  reused under stop_gradient — a deliberate one-step-stale approximation
+  (different training dynamics, same fixed points) that saves a full
+  E+decoder forward per step.
 The reference's stale-`t1_rec` eval bug (:330) is not replicated.
 """
 

@@ -7,10 +7,13 @@ TPU-native re-design of `unet/scripts/train_unet.py`:
   * D loss = 0.5 * (MSE(fake->0) + MSE(real->1)) (:171-193);
   * `requires_grad` gating becomes two value_and_grad computations over
     separate parameter trees inside ONE jitted step;
-  * the reference re-runs the generator for the D phase (:175-176) — here
-    the already-computed fake is reused under stop_gradient (identical
-    math: dropout is zero and G was just updated from the same batch; saves
-    a full generator forward per step);
+  * the reference re-runs the generator AFTER the G optimiser step for the
+    D phase (:175-176), so D trains on the post-update G's fake. By default
+    this step reuses the pre-update fake under stop_gradient — a deliberate
+    one-step-stale approximation that saves a full generator forward per
+    step (different training dynamics, same fixed points). Set
+    ``exact_d_fake=True`` (config key ``exact_d_fake``) to regenerate the
+    fake with the updated parameters and match the reference exactly;
   * condition = covariate row as (B, 1, K), or zeros when unconditional
     (:142-145).
 
@@ -112,9 +115,12 @@ def make_train_step(
     perceptual: Optional[PerceptualLoss],
     train_cfg: Mapping[str, Any],
     use_condition: bool = True,
+    exact_d_fake: Optional[bool] = None,
 ) -> Callable:
     pw = float(train_cfg.get("perceptual_weight", 0.0))
     aw = float(train_cfg.get("adv_weight", 0.1))
+    if exact_d_fake is None:
+        exact_d_fake = bool(train_cfg.get("exact_d_fake", False))
 
     def train_step(state: GANState, batch: Mapping[str, jax.Array]) -> Tuple[GANState, Dict]:
         t1 = batch["t1"]
@@ -148,12 +154,18 @@ def make_train_step(
         }
 
         if aw > 0:
-            fake = jax.lax.stop_gradient(aux["fake"])
+            if exact_d_fake:
+                # reference semantics: D sees the POST-update generator's
+                # output (train_unet.py:175-176) — costs one extra G forward
+                fake = jax.lax.stop_gradient(generator.apply(new_g.params, t1, cond))
+            else:
+                # one-step-stale fake from the pre-update G (see module doc)
+                fake = jax.lax.stop_gradient(aux["fake"])
 
             def d_loss_fn(d_params):
-                # one batched D pass over [fake; real] — identical math
-                # (PatchGAN is per-sample: convs + InstanceNorm), half the
-                # kernel launches of the reference's two passes (:175-184)
+                # one batched D pass over [fake; real] — PatchGAN is
+                # per-sample (convs + InstanceNorm), so batching fake/real
+                # together equals the reference's two passes (:175-184)
                 logits = discriminator.apply(d_params, jnp.concatenate([fake, pet], axis=0))[-1]
                 logits_fake, logits_real = jnp.split(logits, 2, axis=0)
                 return lsgan_discriminator_loss(logits_fake, logits_real)

@@ -114,6 +114,36 @@ def test_suvr_on_synthetic_labels():
     assert float(m) == pytest.approx(0.5) and float(s) == pytest.approx(0.0)
 
 
+def test_resize_and_pad_pet_to_seg_matches_reference_reorient():
+    """Numerical parity with the reference's pad+reorient
+    (apply_surfurseg_to_PET.py:18-22): on ants (x, y, z)-order arrays the
+    reference pads to the cube with MONAI SpatialPad, then applies
+    np.swapaxes(a, 1, 2)[:, ::-1, ::-1]. Our arrays are (z, y, x), so the
+    output must equal the reference result transposed back."""
+    from cips_tpu.ops.suvr import resize_and_pad_pet_to_seg
+
+    rng = np.random.default_rng(7)
+    a_xyz = rng.random((5, 6, 7)).astype(np.float32)  # odd dims -> asymmetric pad
+
+    # reference pipeline (scale 1.0 isolates pad+reorient from interpolation)
+    def monai_pad(a, tgt):
+        pads = []
+        for cur, t in zip(a.shape, tgt):
+            d = max(t - cur, 0)
+            pads.append((d // 2, d - d // 2))
+        return np.pad(a, pads)
+
+    ref = monai_pad(a_xyz, (9, 9, 9))
+    ref = np.swapaxes(ref, 1, 2)[:, ::-1, ::-1]
+
+    ours_zyx = np.asarray(
+        resize_and_pad_pet_to_seg(
+            jnp.asarray(a_xyz.transpose(2, 1, 0)), seg_shape=(9, 9, 9), scale=1.0
+        )
+    )
+    np.testing.assert_allclose(ours_zyx, ref.transpose(2, 1, 0), atol=1e-5)
+
+
 def test_rigid_registration_recovers_translation():
     rng = np.random.default_rng(3)
     base = ndi.gaussian_filter(rng.random((24, 24, 24)).astype(np.float32), 2.0)
