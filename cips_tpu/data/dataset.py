@@ -408,11 +408,20 @@ class StreamingLoader:
             batch_vols, batch_idx = [], []
             while served < len(order):
                 idx, sample = self._prefetcher.next()
-                if idx < 0:
-                    break
-                batch_vols.append(sample)
-                batch_idx.append(idx)
+                if idx < 0:  # fully drained (cannot fire early: the native
+                    break    # pool tracks in-flight decodes)
                 served += 1
+                if sample is None:  # per-sample decode failure: skip, warn
+                    import warnings
+
+                    warnings.warn(
+                        f"skipping unreadable sample {self.dataset.paths[idx]}"
+                    )
+                else:
+                    batch_vols.append(sample)
+                    batch_idx.append(idx)
+                if not batch_vols:
+                    continue
                 if len(batch_vols) == self.batch_size or (
                     served == len(order) and not self.drop_last and batch_vols
                 ):

@@ -128,12 +128,20 @@ class NativePrefetcher:
         self._lib.cips_prefetcher_submit(self._handle, arr, len(indices))
 
     def next(self) -> tuple:
-        """(index, (2, z, y, x) float32) — blocks until a sample is decoded."""
+        """(index, (2, z, y, x) float32) — blocks until a sample is decoded.
+
+        Returns (-1, None) when the queue is fully drained (pending,
+        in-flight and ready all empty), and (index, None) when that sample's
+        decode FAILED — the caller must skip it (never train on it)."""
         out = np.empty((2,) + self.shape, np.float32)
-        idx = self._lib.cips_prefetcher_next(
+        idx = int(self._lib.cips_prefetcher_next(
             self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        )
-        return int(idx), out
+        ))
+        if idx == -1:
+            return -1, None
+        if idx <= -2:  # -2 - sample_index encodes a per-sample decode failure
+            return -2 - idx, None
+        return idx, out
 
     @property
     def errors(self) -> int:

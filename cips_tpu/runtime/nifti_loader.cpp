@@ -271,6 +271,7 @@ struct Prefetcher {
   std::condition_variable cv_ready, cv_space;
   std::queue<int64_t> pending;                      // sample indices to decode
   std::queue<std::pair<int64_t, float*>> ready;     // decoded (index, buffer)
+  int64_t in_flight = 0;  // popped from pending, not yet pushed to ready (mu)
   size_t capacity;
   std::atomic<bool> stop{false};
   std::atomic<int64_t> errors{0};
@@ -287,6 +288,7 @@ struct Prefetcher {
         if (stop.load()) return;
         idx = pending.front();
         pending.pop();
+        ++in_flight;  // keep the sample visible to next()'s drain predicate
       }
       float* buf = (float*)std::malloc(sizeof(float) * (size_t)(2 * n));
       bool ok = buf != nullptr;
@@ -294,10 +296,12 @@ struct Prefetcher {
       if (ok) ok = decode_to(pet_paths[(size_t)idx].c_str(), buf + n, tz, ty, tx, normalize);
       if (!ok) {
         errors.fetch_add(1);
-        if (buf) std::memset(buf, 0, sizeof(float) * (size_t)(2 * n));
+        if (buf) std::free(buf);
+        buf = nullptr;  // nullptr buffer == decode failure for this sample
       }
       {
         std::lock_guard<std::mutex> lk(mu);
+        --in_flight;
         ready.emplace(idx, buf);
       }
       cv_ready.notify_all();
@@ -353,22 +357,27 @@ void cips_prefetcher_submit(void* handle, const int64_t* indices, int64_t n) {
 }
 
 // Pop one decoded sample; copies (2, tz, ty, tx) floats into dst.
-// Returns the sample index, or -1 if nothing pending and queue drained.
+// Returns the sample index; -1 once pending, in-flight AND ready are all
+// empty (drained); or -2 - index when that sample's decode failed (dst is
+// untouched — the caller must skip it).
 int64_t cips_prefetcher_next(void* handle, float* dst) {
   auto* p = (Prefetcher*)handle;
   std::pair<int64_t, float*> item;
   {
     std::unique_lock<std::mutex> lk(p->mu);
-    p->cv_ready.wait(lk, [&] { return !p->ready.empty() || (p->pending.empty() && p->ready.empty()); });
+    // A worker pops `pending` before decoding outside the lock; `in_flight`
+    // keeps those samples visible so the tail of an epoch is never dropped.
+    p->cv_ready.wait(lk, [&] {
+      return !p->ready.empty() || (p->pending.empty() && p->in_flight == 0);
+    });
     if (p->ready.empty()) return -1;
     item = p->ready.front();
     p->ready.pop();
   }
   p->cv_space.notify_all();
-  if (item.second) {
-    std::memcpy(dst, item.second, sizeof(float) * (size_t)(2 * p->vol_elems()));
-    std::free(item.second);
-  }
+  if (item.second == nullptr) return -2 - item.first;  // decode failed
+  std::memcpy(dst, item.second, sizeof(float) * (size_t)(2 * p->vol_elems()));
+  std::free(item.second);
   return item.first;
 }
 
