@@ -134,6 +134,78 @@ def ms_ssim(
     return jnp.prod(stacked ** weights_arr)
 
 
+def _filter2d(x: jax.Array, kernel1d: jax.Array) -> jax.Array:
+    """Separable 'valid' gaussian filtering of (N, H, W, 1)."""
+    k = kernel1d.shape[0]
+    for axis in range(2):
+        win = [1, 1]
+        win[axis] = k
+        kern = kernel1d.reshape(win + [1, 1])
+        x = jax.lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    return x
+
+
+def _ssim_and_cs_2d(
+    a: jax.Array, b: jax.Array, kernel_size: int, sigma: float, data_range: float
+) -> Tuple[jax.Array, jax.Array]:
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    kern = _gaussian_kernel1d(kernel_size, sigma)
+    mu_a, mu_b = _filter2d(a, kern), _filter2d(b, kern)
+    mu_aa, mu_bb, mu_ab = _filter2d(a * a, kern), _filter2d(b * b, kern), _filter2d(a * b, kern)
+    var_a, var_b = mu_aa - mu_a * mu_a, mu_bb - mu_b * mu_b
+    cov = mu_ab - mu_a * mu_b
+    cs = (2 * cov + c2) / (var_a + var_b + c2)
+    ssim_map = ((2 * mu_a * mu_b + c1) / (mu_a * mu_a + mu_b * mu_b + c1)) * cs
+    return ssim_map.mean(), cs.mean()
+
+
+def ms_ssim_2d_slicewise(
+    a: jax.Array,
+    b: jax.Array,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    data_range: float = 1.0,
+    weights: Sequence[float] = MS_SSIM_WEIGHTS,
+) -> jax.Array:
+    """MS-SSIM of a (D, H, W) volume as torchmetrics computes it on a 4-D
+    (1, D, H, W) input — the shape the reference's folder-metric tool feeds
+    it (unet/scripts/metrics.py:53-66: `.unsqueeze(0)` yields 4-D, so
+    torchmetrics runs its 2-D path with D as the channel axis): a grouped
+    2-D gaussian window per slice, means over (C, H, W), and avg-pool-2
+    downsampling of H and W ONLY between scales. This differs numerically
+    from true 3-D MS-SSIM (`ms_ssim`), which the reference only uses at
+    inference time on 5-D inputs (output_predict.py:73,125-130)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if a.ndim != 3:
+        raise ValueError(f"expected a (D, H, W) volume, got {a.shape}")
+    a = a[..., None]  # slices as the batch axis: (D, H, W, 1)
+    b = b[..., None]
+    values = []
+    # clamp the scale count so the window always fits (torchmetrics raises
+    # on too-small inputs; we degrade gracefully, renormalising the weights
+    # over the scales actually used — same policy as `ms_ssim`)
+    min_dim = min(a.shape[1:3])
+    n_scales = len(weights)
+    while n_scales > 1 and min_dim // (2 ** (n_scales - 1)) < kernel_size:
+        n_scales -= 1
+    weights_arr = jnp.asarray(weights[:n_scales], jnp.float32)
+    weights_arr = weights_arr / weights_arr.sum() * sum(weights)
+    for i in range(n_scales):
+        s, cs = _ssim_and_cs_2d(a, b, kernel_size, sigma, data_range)
+        values.append(s if i == n_scales - 1 else cs)
+        if i != n_scales - 1:
+            pool = (1, 2, 2, 1)
+            a = jax.lax.reduce_window(a, 0.0, jax.lax.add, pool, pool, "VALID") / 4.0
+            b = jax.lax.reduce_window(b, 0.0, jax.lax.add, pool, pool, "VALID") / 4.0
+    stacked = jnp.maximum(jnp.stack(values), 0.0)  # torchmetrics normalize="relu"
+    return jnp.prod(stacked ** weights_arr)
+
+
 def mean_intensity_match(sys: jax.Array, real: jax.Array) -> jax.Array:
     """Scale synthesized volume to the real volume's mean intensity
     (metrics.py:51-52: sys / mean(sys) * mean(real))."""
