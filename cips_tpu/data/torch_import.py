@@ -221,10 +221,78 @@ def import_diffusion_encoder(
         elif _has(sd, f"{bt}.downsampler.op"):
             _map_conv(out, f"{bt}.downsampler.op", f"{bf}/downsampler/op", sd)
     if "out.0.weight" in sd:
-        _set(out, "fc1/kernel", _lin_w(sd["out.0.weight"]))
+        # the reference flattens NCDHW features (atten_unet_model.py:2030:
+        # h.reshape(N, -1) -> (C, D, H, W) order); flax flattens channels-last
+        # (D, H, W, C). Permute fc1's input dim from (C, S) to (S, C) blocks.
+        w = _np(sd["out.0.weight"])  # (hidden, C*S)
+        c = _last_level_channels(sd, num_levels)
+        s = w.shape[1] // c
+        w = w.reshape(w.shape[0], c, s).transpose(0, 2, 1).reshape(w.shape[0], -1)
+        _set(out, "fc1/kernel", w.T)
         _set(out, "fc1/bias", _np(sd["out.0.bias"]))
         _set(out, "fc2/kernel", _lin_w(sd["out.3.weight"]))
         _set(out, "fc2/bias", _np(sd["out.3.bias"]))
+    return out
+
+
+def _last_level_channels(sd: Mapping[str, Any], num_levels: int) -> int:
+    """Output channel count of the deepest down block (= the flattened
+    feature's channel axis)."""
+    level = num_levels - 1
+    j = 0
+    while f"down_blocks.{level}.resnets.{j + 1}.conv2.conv.weight" in sd:
+        j += 1
+    key = f"down_blocks.{level}.resnets.{j}.conv2.conv.weight"
+    if f"down_blocks.{level}.downsampler.conv2.conv.weight" in sd:
+        key = f"down_blocks.{level}.downsampler.conv2.conv.weight"
+    elif f"down_blocks.{level}.downsampler.op.conv.weight" in sd:
+        key = f"down_blocks.{level}.downsampler.op.conv.weight"
+    return int(_np(sd[key]).shape[0])
+
+
+def import_patch_discriminator(state_dict: Mapping[str, Any], num_layers_d: int = 3) -> Dict:
+    """torch PatchDiscriminator state_dict -> flax params subtree.
+
+    The MONAI-generative source is not vendored in the reference, so this
+    mapping is ORDER-based rather than name-based: a PatchGAN is a straight
+    conv ladder (initial conv, num_layers_d-1 strided conv+norm pairs, a
+    penultimate conv+norm, a 1-channel head — bmgan_model.py:133-144,
+    train_unet.py:74), so conv kernels are mapped in state_dict order onto
+    conv_0..conv_{n}, conv_penultimate, conv_out, and 1-D affine (weight,
+    bias) pairs onto norm_1..norm_penultimate. BatchNorm running statistics
+    (running_mean/var), if present, have no counterpart in this package's
+    stat-free InstanceNorm and are dropped with a shape check."""
+    sd = strip_ddp_prefix(state_dict)
+    convs = []
+    norms = []
+    for k, v in sd.items():
+        arr = _np(v)
+        if k.endswith("num_batches_tracked") or "running_" in k:
+            continue
+        if arr.ndim >= 3 and k.endswith("weight"):
+            bias = sd.get(k[: -len("weight")] + "bias")
+            convs.append((arr, None if bias is None else _np(bias)))
+        elif arr.ndim == 1 and k.endswith("weight"):
+            norms.append((arr, _np(sd[k[: -len("weight")] + "bias"])))
+    conv_names = (
+        ["conv_0"]
+        + [f"conv_{i}" for i in range(1, num_layers_d)]
+        + ["conv_penultimate", "conv_out"]
+    )
+    norm_names = [f"norm_{i}" for i in range(1, num_layers_d)] + ["norm_penultimate"]
+    if len(convs) != len(conv_names):
+        raise ValueError(f"expected {len(conv_names)} convs, found {len(convs)}")
+    out: Dict = {}
+    for name, (w, b) in zip(conv_names, convs):
+        _set(out, f"{name}/kernel", _conv_w(w))
+        # bias=False convs (MONAI normed layers) -> zero bias in our template
+        _set(out, f"{name}/bias", b if b is not None else np.zeros(w.shape[0], np.float32))
+    if norms:
+        if len(norms) != len(norm_names):
+            raise ValueError(f"expected {len(norm_names)} norms, found {len(norms)}")
+        for name, (scale, bias) in zip(norm_names, norms):
+            _set(out, f"{name}/scale", scale)
+            _set(out, f"{name}/bias", bias)
     return out
 
 
@@ -237,4 +305,9 @@ def import_checkpoint(path: str, num_levels: int, transformer_num_layers: int = 
     out: Dict[str, Any] = {"raw": ckpt, "epoch": ckpt.get("epoch")}
     if "unet" in ckpt:
         out["unet"] = {"params": import_atten_unet(ckpt["unet"], num_levels, transformer_num_layers)}
+    if "discriminator" in ckpt:
+        try:
+            out["discriminator"] = {"params": import_patch_discriminator(ckpt["discriminator"])}
+        except ValueError:
+            pass  # non-default ladder depth; import explicitly with num_layers_d
     return out

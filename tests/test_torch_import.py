@@ -167,6 +167,15 @@ def test_import_encoder_round_trip():
     renames = {"fc1.weight": "out.0.weight", "fc1.bias": "out.0.bias",
                "fc2.weight": "out.3.weight", "fc2.bias": "out.3.bias"}
     sd = {renames.get(k, k): v for k, v in sd.items()}
+    # fc1's input is flattened (D,H,W,C) on the flax side but (C,D,H,W) in
+    # the reference (atten_unet_model.py:2030) — emit torch ordering so the
+    # importer's permutation round-trips
+    w = sd["out.0.weight"].numpy()  # (hidden, S*C)
+    c = 8  # num_channels[-1]
+    s = w.shape[1] // c
+    sd["out.0.weight"] = torch.from_numpy(
+        w.reshape(w.shape[0], s, c).transpose(0, 2, 1).reshape(w.shape[0], -1).copy()
+    )
     imported = {"params": import_diffusion_encoder(sd, num_levels=2)}
 
     flat_orig = {jax.tree_util.keystr(k): np.asarray(v)
