@@ -130,3 +130,14 @@ def make_loaders(args, need_values, crop_size=None):
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
     return train_loader, eval_loader
+
+
+def maybe_load_perceptual(state, path):
+    """Swap the frozen perceptual-net params for converted pretrained LPIPS
+    weights (scripts/convert_lpips_weights.py -> .npz). No-op when the
+    workload trains with perceptual_weight == 0 (p_params is None)."""
+    if not path or state.p_params is None:
+        return state
+    from cips_tpu.models.perceptual import params_from_npz
+
+    return state.replace(p_params=params_from_npz(path))

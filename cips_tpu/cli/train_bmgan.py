@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--max_steps", type=int, default=0)
+    p.add_argument("--perceptual_weights", default=None,
+                   help=".npz of converted pretrained LPIPS (alex) weights")
     args = p.parse_args(argv)
 
     mesh = make_mesh()
@@ -42,6 +44,7 @@ def main(argv=None):
         jax.random.key(args.seed), g, e, d_, perc, (1, *args.crop_size, 1),
         lr=args.lr, perceptual_weight=args.lamda_perceptual,
     )
+    state = common.maybe_load_perceptual(state, args.perceptual_weights)
     state = replicate(mesh, state)
 
     ckpt = CheckpointManager(os.path.join(args.exp_dir, "ckpt"))

@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--max_steps", type=int, default=0)
+    p.add_argument("--perceptual_weights", default=None,
+                   help=".npz of converted pretrained LPIPS weights")
     args = p.parse_args(argv)
 
     cfg = common.load_config(args.config, "training_causal.json")
@@ -42,6 +44,7 @@ def main(argv=None):
         jax.random.key(args.seed), enc, t1_dec, pet_dec, disc, perc, train_cfg,
         (1, *args.crop_size, 1), n_covariates=len(need_values),
     )
+    state = common.maybe_load_perceptual(state, args.perceptual_weights)
     state = replicate(mesh, state)
 
     ckpt = CheckpointManager(dirs["ckpt"])

@@ -40,6 +40,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_space", type=int, default=1, help="spatial-shard mesh axis size")
     p.add_argument("--max_steps", type=int, default=0, help="debug: stop after N steps")
     p.add_argument("--profile_dir", default=None, help="capture a jax.profiler trace of steps 10-15")
+    p.add_argument("--perceptual_weights", default=None,
+                   help=".npz of converted pretrained LPIPS weights (scripts/convert_lpips_weights.py)")
     p.add_argument("--nan_guard", action="store_true",
                    help="discard parameter updates on non-finite loss (failure detection)")
     return p
@@ -67,6 +69,7 @@ def main(argv=None):
         batch_shape=(1, *args.crop_size, 1),
         n_covariates=len(need_values),
     )
+    state = common.maybe_load_perceptual(state, args.perceptual_weights)
     state = replicate(mesh, state)
 
     ckpt = CheckpointManager(dirs["ckpt"])

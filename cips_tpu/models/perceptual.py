@@ -1,125 +1,268 @@
-"""Perceptual (LPIPS-style) loss for 3-D volumes, 2.5-D slice-wise.
+"""Perceptual (LPIPS) loss for 3-D volumes, 2.5-D slice-wise — reference-faithful.
 
-Rebuild of MONAI-generative `PerceptualLoss(spatial_dims=3,
-network_type="squeeze")` used by every synthesis trainer
-(unet/scripts/train_unet.py:18,76; causal trainer :27,126; BMGAN :9,73):
-feature distances from a SqueezeNet-style 2-D CNN, evaluated slice-wise
-along each of the three axes of the volume and averaged.
+Rebuild of MONAI-generative ``PerceptualLoss`` as used by every synthesis
+trainer in the reference:
+  * unet:   PerceptualLoss(spatial_dims=3, network_type="squeeze")
+            (unet/scripts/train_unet.py:18,76; unet/config/training.json:48-50)
+  * causal: same squeeze config, weight 0.02
+            (causal_synthesis/scripts/train_unify_causal_gen.py:126,240)
+  * BMGAN:  PerceptualLoss(spatial_dims=3) -> MONAI default network_type
+            "alex", weight 8 (bl_methods/BMGAN/train_bmgan.py:73,152)
 
-No pretrained-weight download is possible in this environment, so the
-feature extractor is initialised with a *fixed, seeded* random init by
-default — random convolutional features are a documented, well-behaved
-perceptual metric family ("deep features as a perceptual prior"); weights
-can be swapped in from an .npz to reproduce LPIPS-exact numbers. The main
-synthesis config sets perceptual_weight=0 (unet/config/training.json:54)
-so parity of the headline workload does not depend on these weights.
+Faithful semantics (MONAI generative losses/perceptual.py + richzhang LPIPS):
+  * backbone features from torchvision SqueezeNet-1.1 / AlexNet tap points
+    (7 taps for squeeze, 5 for alex);
+  * the LPIPS scaling layer ((x - shift) / scale, broadcasting 1-channel
+    input to the 3 RGB channels);
+  * per-tap channel-unit-normalisation, squared difference, 1x1 "lin"
+    calibration conv to a scalar map, spatial average, SUM over taps;
+  * 3-D volumes are evaluated 2.5-D ("fake 3d"): slices along each of the
+    three axes, a ``fake_3d_ratio`` (default 0.5) subset per axis, mean over
+    slices, and the three axis losses SUMMED.
 
-To keep the TPU hot loop dense, slices are folded into the batch dimension
-and processed by one batched 2-D CNN call per axis — no Python loop over
-slices. Optionally only every k-th slice is evaluated (`slice_stride`),
-an unbiased estimator of the full slice-wise loss.
+Deviation (documented): MONAI samples the slice subset with torch.randperm
+every call; this implementation takes the deterministic every-k-th-slice
+subset with k = round(1 / fake_3d_ratio) so the loss is a pure function fit
+for jit (same expectation over a homogeneous stack, no rng threading).
+
+Pretrained weights cannot be downloaded in this environment (zero egress).
+The architecture + parameter naming exactly mirror the torch originals, so
+``scripts/convert_lpips_weights.py`` converts a torchvision backbone
+state_dict + LPIPS lin weights into an .npz that `params_from_npz` loads;
+`tests/test_perceptual_parity.py` proves the converted pipeline matches a
+torch LPIPS implementation bit-for-bit-ish on random weights. Without an
+.npz the extractor is a fixed, seeded random init (a documented fallback --
+random conv features are a well-behaved perceptual family) and the lin
+layers initialise to the uniform average 1/C.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# LPIPS ScalingLayer constants (lpips/lpips.py ScalingLayer)
+_SHIFT = (-0.030, -0.088, -0.188)
+_SCALE = (0.458, 0.448, 0.450)
+
+SQUEEZE_TAP_CHANNELS = (64, 128, 256, 384, 384, 512, 512)
+ALEX_TAP_CHANNELS = (64, 192, 384, 256, 256)
 
 
-class _SqueezeFeatures(nn.Module):
-    """SqueezeNet-flavoured feature pyramid: stem + fire-ish conv stages.
+def _conv(features: int, kernel: int, stride: int = 1, pad: int = 0, name: str = "", dtype=jnp.float32):
+    return nn.Conv(
+        features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=[(pad, pad)] * 2,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
 
-    Returns feature maps after each stage (5 scales), channel-unit-normalised
-    as in LPIPS.
-    """
+
+def _max_pool(x: jax.Array, ceil: bool = False) -> jax.Array:
+    """torch MaxPool2d(kernel_size=3, stride=2, ceil_mode=ceil)."""
+    pads = []
+    for size in x.shape[1:3]:
+        if ceil:
+            out = -((size - 3) // -2) + 1
+            pads.append((0, max(0, (out - 1) * 2 + 3 - size)))
+        else:
+            pads.append((0, 0))
+    return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding=pads)
+
+
+class _Fire(nn.Module):
+    """torchvision SqueezeNet Fire: squeeze 1x1 -> (expand1x1 | expand3x3)."""
+
+    squeeze: int
+    expand: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s = nn.relu(_conv(self.squeeze, 1, name="squeeze", dtype=self.dtype)(x))
+        a = nn.relu(_conv(self.expand, 1, name="expand1x1", dtype=self.dtype)(s))
+        b = nn.relu(_conv(self.expand, 3, pad=1, name="expand3x3", dtype=self.dtype)(s))
+        return jnp.concatenate([a, b], axis=-1)
+
+
+class SqueezeFeatures(nn.Module):
+    """torchvision SqueezeNet-1.1 `.features` with the 7 LPIPS tap points.
+
+    Layer indices follow torchvision; parameter names mirror the torch
+    state_dict (features.0 -> conv0, features.3 -> fire3, ...) so the
+    weight converter is a pure rename."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Sequence[jax.Array]:
-        feats = []
-        widths = (64, 128, 256, 384, 512)
-        h = x
-        for i, w in enumerate(widths):
-            stride = 2 if i > 0 else 1
-            h = nn.Conv(
-                w,
-                kernel_size=(3, 3),
-                strides=(stride, stride),
-                padding=[(1, 1), (1, 1)],
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name=f"conv_{i}",
-            )(h)
-            h = nn.relu(h)
-            h = nn.Conv(
-                w,
-                kernel_size=(3, 3),
-                padding=[(1, 1), (1, 1)],
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name=f"conv_{i}b",
-            )(h)
-            h = nn.relu(h)
-            feats.append(h)
-        return feats
+        taps = []
+        h = nn.relu(_conv(64, 3, stride=2, name="conv0", dtype=self.dtype)(x))
+        taps.append(h)  # relu1
+        h = _max_pool(h, ceil=True)
+        h = _Fire(16, 64, dtype=self.dtype, name="fire3")(h)
+        h = _Fire(16, 64, dtype=self.dtype, name="fire4")(h)
+        taps.append(h)  # relu2 (128)
+        h = _max_pool(h, ceil=True)
+        h = _Fire(32, 128, dtype=self.dtype, name="fire6")(h)
+        h = _Fire(32, 128, dtype=self.dtype, name="fire7")(h)
+        taps.append(h)  # relu3 (256)
+        h = _max_pool(h, ceil=True)
+        h = _Fire(48, 192, dtype=self.dtype, name="fire9")(h)
+        taps.append(h)  # relu4 (384)
+        h = _Fire(48, 192, dtype=self.dtype, name="fire10")(h)
+        taps.append(h)  # relu5 (384)
+        h = _Fire(64, 256, dtype=self.dtype, name="fire11")(h)
+        taps.append(h)  # relu6 (512)
+        h = _Fire(64, 256, dtype=self.dtype, name="fire12")(h)
+        taps.append(h)  # relu7 (512)
+        return taps
+
+
+class AlexFeatures(nn.Module):
+    """torchvision AlexNet `.features` with the 5 LPIPS tap points."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Sequence[jax.Array]:
+        taps = []
+        h = nn.relu(_conv(64, 11, stride=4, pad=2, name="conv0", dtype=self.dtype)(x))
+        taps.append(h)  # relu1
+        h = _max_pool(h)
+        h = nn.relu(_conv(192, 5, pad=2, name="conv3", dtype=self.dtype)(h))
+        taps.append(h)  # relu2
+        h = _max_pool(h)
+        h = nn.relu(_conv(384, 3, pad=1, name="conv6", dtype=self.dtype)(h))
+        taps.append(h)  # relu3
+        h = nn.relu(_conv(256, 3, pad=1, name="conv8", dtype=self.dtype)(h))
+        taps.append(h)  # relu4
+        h = nn.relu(_conv(256, 3, pad=1, name="conv10", dtype=self.dtype)(h))
+        taps.append(h)  # relu5
+        return taps
 
 
 def _unit_normalize(f: jax.Array, eps: float = 1e-10) -> jax.Array:
-    norm = jnp.sqrt(jnp.sum(jnp.square(f.astype(jnp.float32)), axis=-1, keepdims=True))
+    # lpips.normalize_tensor: x / (||x||_channels + eps)
+    f = f.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=-1, keepdims=True))
     return f / (norm + eps)
 
 
-class PerceptualLoss(nn.Module):
-    spatial_dims: int = 3
-    network_type: str = "squeeze"  # config parity; only squeeze-style net is built
-    slice_stride: int = 4
+class LPIPS(nn.Module):
+    """2-D LPIPS distance with linear calibration layers.
+
+    Returns the per-sample distance (B,). Input is (B, H, W, C) with C == 1
+    (broadcast to RGB by the scaling layer, matching torch broadcasting of
+    the (1,3,1,1) shift/scale against a 1-channel tensor) or C == 3.
+    """
+
+    network_type: str = "squeeze"
     dtype: jnp.dtype = jnp.float32
 
-    @staticmethod
-    def _loss_2d(net: _SqueezeFeatures, a: jax.Array, b: jax.Array) -> jax.Array:
-        # (B, H, W, 1) -> 3 channels like RGB-pretrained nets
-        fa = net(jnp.repeat(a, 3, axis=-1))
-        fb = net(jnp.repeat(b, 3, axis=-1))
-        total = 0.0
-        for xa, xb in zip(fa, fb):
-            d = _unit_normalize(xa) - _unit_normalize(xb)
-            total = total + jnp.mean(jnp.sum(jnp.square(d), axis=-1))
-        return total / len(fa)
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        if self.network_type == "squeeze":
+            net = SqueezeFeatures(dtype=self.dtype, name="net")
+            tap_channels = SQUEEZE_TAP_CHANNELS
+        elif self.network_type == "alex":
+            net = AlexFeatures(dtype=self.dtype, name="net")
+            tap_channels = ALEX_TAP_CHANNELS
+        else:
+            raise ValueError(f"unsupported network_type {self.network_type!r}")
+
+        shift = jnp.asarray(_SHIFT, jnp.float32)
+        scale = jnp.asarray(_SCALE, jnp.float32)
+
+        def scaled(x):
+            return ((x.astype(jnp.float32) - shift) / scale).astype(self.dtype)
+
+        fa = net(scaled(a))
+        fb = net(scaled(b))
+        total = jnp.zeros((a.shape[0],), jnp.float32)
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            d = jnp.square(_unit_normalize(xa) - _unit_normalize(xb))  # (B,H,W,C) fp32
+            # NetLinLayer: 1x1 conv C -> 1, no bias. Init = uniform average so
+            # the random-feature fallback is a plain mean; pretrained weights
+            # overwrite via params_from_npz.
+            lin = self.param(
+                f"lin{i}",
+                lambda key, shape: jnp.full(shape, 1.0 / shape[0], jnp.float32),
+                (tap_channels[i], 1),
+            )
+            total = total + jnp.mean(d @ lin, axis=(1, 2, 3))  # spatial average
+        return total
+
+
+class PerceptualLoss(nn.Module):
+    """MONAI-generative PerceptualLoss, TPU-native.
+
+    3-D volumes (N, D, H, W, 1) are evaluated 2.5-D: per axis, every k-th
+    slice (k = round(1/fake_3d_ratio)) is folded into the batch, the 2-D
+    LPIPS mean over slices is the axis loss, and the three axis losses are
+    summed (MONAI perceptual.py forward: loss_sagittal + loss_coronal +
+    loss_axial). 2-D inputs go straight through LPIPS.
+    """
+
+    spatial_dims: int = 3
+    network_type: str = "squeeze"
+    is_fake_3d: bool = True
+    fake_3d_ratio: float = 0.5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
-        net = _SqueezeFeatures(dtype=self.dtype, name="features")
+        lpips = LPIPS(network_type=self.network_type, dtype=self.dtype, name="lpips")
         if self.spatial_dims == 2:
-            return self._loss_2d(net, pred, target)
+            return jnp.mean(lpips(pred, target))
+        if not self.is_fake_3d:
+            raise NotImplementedError(
+                "true-3D perceptual networks (medicalnet/resnet50) are not "
+                "part of the reference workloads"
+            )
 
-        # 2.5-D: for each axis, fold (batch, slices) together and run the 2-D
-        # net once. pred/target: (N, D, H, W, 1).
+        s = max(1, round(1.0 / self.fake_3d_ratio))
         n, d, h, w, c = pred.shape
-        s = self.slice_stride
-        total = 0.0
-        per_axis = []
-        # axial (over D): slices are (H, W)
-        per_axis.append((pred[:, ::s], target[:, ::s], (n * ((d + s - 1) // s), h, w, c)))
-        # coronal (over H): slices are (D, W)
-        per_axis.append(
+        total = jnp.float32(0.0)
+        # one batched 2-D LPIPS call per axis; slices fold into batch
+        views = (
+            (pred[:, ::s], target[:, ::s], (h, w)),
             (
                 pred[:, :, ::s].transpose(0, 2, 1, 3, 4),
                 target[:, :, ::s].transpose(0, 2, 1, 3, 4),
-                (n * ((h + s - 1) // s), d, w, c),
-            )
-        )
-        # sagittal (over W): slices are (D, H)
-        per_axis.append(
+                (d, w),
+            ),
             (
                 pred[:, :, :, ::s].transpose(0, 3, 1, 2, 4),
                 target[:, :, :, ::s].transpose(0, 3, 1, 2, 4),
-                (n * ((w + s - 1) // s), d, h, c),
-            )
+                (d, h),
+            ),
         )
-        for pa, ta, shape in per_axis:
-            total = total + self._loss_2d(net, pa.reshape(shape), ta.reshape(shape))
-        return total / 3.0
+        for pa, ta, (sh, sw) in views:
+            total = total + jnp.mean(lpips(pa.reshape(-1, sh, sw, c), ta.reshape(-1, sh, sw, c)))
+        return total
+
+
+def params_from_npz(path) -> dict:
+    """Load a converted LPIPS weight .npz (scripts/convert_lpips_weights.py)
+    into the {"params": ...} tree `PerceptualLoss.apply` expects.
+
+    Keys in the npz are flat "/"-joined flax paths, e.g.
+    ``lpips/net/fire3/squeeze/kernel`` or ``lpips/lin0``.
+    """
+    flat = dict(np.load(path))
+    tree: dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return {"params": tree}

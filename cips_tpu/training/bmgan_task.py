@@ -41,7 +41,9 @@ def build_models(dtype=jnp.bfloat16, latent_dim: int = 8):
     generator = DenseUNetGenerator(dtype=dtype, latent_dim=latent_dim)
     encoder = ResNetEncoder(dtype=dtype, latent_dim=latent_dim)
     discriminator = BMGANDiscriminator(dtype=dtype)
-    perceptual = PerceptualLoss(spatial_dims=3, dtype=dtype)
+    # reference: PerceptualLoss(spatial_dims=3) with no network_type
+    # (bl_methods/BMGAN/train_bmgan.py:73) -> the MONAI default, AlexNet LPIPS
+    perceptual = PerceptualLoss(spatial_dims=3, network_type="alex", dtype=dtype)
     return generator, encoder, discriminator, perceptual
 
 

@@ -14,8 +14,8 @@ from cips_tpu.training.profiling import device_memory_report, timed_steps
 
 
 def test_perceptual_loss_properties():
-    p = PerceptualLoss(spatial_dims=3, slice_stride=2)
-    x = jnp.asarray(np.random.default_rng(0).random((1, 8, 8, 8, 1)), jnp.float32)
+    p = PerceptualLoss(spatial_dims=3)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 32, 1)), jnp.float32)
     params = p.init(jax.random.key(0), x, x)
     same = float(p.apply(params, x, x))
     assert abs(same) < 1e-6  # identical volumes -> zero distance
