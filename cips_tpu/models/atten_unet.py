@@ -29,7 +29,7 @@ from cips_tpu.models.blocks import (
     attention_mode,
     conv,
 )
-from cips_tpu.ops.s2d import depth_to_space, space_to_depth
+from cips_tpu.ops.s2d import F8, Factors, depth_to_space, phase_count, space_to_depth
 
 
 def _tuplify(v, n: int) -> Tuple:
@@ -59,7 +59,14 @@ class AttenUNet(nn.Module):
     remat: bool = False  # jax.checkpoint each block: ~4x less activation HBM, ~1.3x FLOPs
     remat_skip_coarsest: int = 0  # store (not remat) the N coarsest levels + mid: their
     # activations are tiny but their recompute is not free
-    s2d: bool = False  # space-to-depth level 0: exact math, 128-lane tensors (BENCH_NOTES.md)
+    remat_policy: Optional[str] = None  # None = recompute whole blocks; "conv" =
+    # save conv outputs (blocks.CONV_SAVE_NAME), recompute only the cheap
+    # elementwise chain between them — backward keeps the MXU work single-pass
+    s2d: bool = False  # space-to-depth fine levels: exact math, 128-lane tensors (BENCH_NOTES.md)
+    s2d_factors: Optional[Sequence[Optional[Factors]]] = None  # per-level packing factor
+    # tuples (None = unpacked). Default when s2d=True: level 0 (2,2,2), level 1
+    # (2,2,1) when it is attention-free and not the coarsest level — i.e. the
+    # factors that make the flagship's 16/32-channel levels exactly 128-lane.
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -81,6 +88,27 @@ class AttenUNet(nn.Module):
                 raise ValueError("s2d level 0 cannot carry attention")
             if not self.resblock_updown:
                 raise ValueError("s2d requires resblock_updown=True")
+        factors = self.level_factors()
+        for i, f in enumerate(factors):
+            if f is None:
+                continue
+            if self.attention_levels[i]:
+                raise ValueError(f"s2d level {i} cannot carry attention")
+            if i == n - 1:
+                raise ValueError("the coarsest level (mid block) cannot be packed")
+
+    def level_factors(self) -> Tuple[Optional[Factors], ...]:
+        """Per-level packing factors; index i = level i (finest first)."""
+        n = len(self.num_channels)
+        if not self.s2d:
+            return (None,) * n
+        if self.s2d_factors is not None:
+            fs = tuple(tuple(f) if f is not None else None for f in self.s2d_factors)
+            return fs + (None,) * (n - len(fs))
+        factors: list = [F8] + [None] * (n - 1)
+        if n >= 3 and not self.attention_levels[1]:
+            factors[1] = (2, 2, 1)
+        return tuple(factors)
 
     @nn.compact
     def __call__(
@@ -97,20 +125,45 @@ class AttenUNet(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
-        if self.s2d:
-            x = space_to_depth(x)
-            h = PackedConv(self.num_channels[0], 3, dtype=self.dtype, name="conv_in")(x)
+        factors = self.level_factors()
+        if factors[0] is not None:
+            x = space_to_depth(x, factors[0])
+            h = PackedConv(
+                self.num_channels[0], 3, factors=factors[0], dtype=self.dtype, name="conv_in"
+            )(x)
         else:
             h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
 
         # remat: recompute block interiors in the backward pass; only block
-        # boundaries (the skip tensors) stay live in HBM.
+        # boundaries (the skip tensors) stay live in HBM. With
+        # remat_policy="conv", conv outputs are additionally saved so the
+        # backward recompute is elementwise-only (GN/SiLU/concat).
         skip = self.remat_skip_coarsest
+        policy = None
+        if self.remat_policy == "conv":
+            from cips_tpu.models.blocks import CONV_SAVE_NAME
+
+            policy = jax.checkpoint_policies.save_only_these_names(CONV_SAVE_NAME)
+        elif self.remat_policy is not None:
+            raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+
         def down_cls(i):
-            return nn.remat(DownBlock, static_argnums=(3,)) if (self.remat and i < n - skip) else DownBlock
-        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if (self.remat and skip == 0) else MidBlock
+            return (
+                nn.remat(DownBlock, static_argnums=(3,), policy=policy)
+                if (self.remat and i < n - skip)
+                else DownBlock
+            )
+        mid_cls = (
+            nn.remat(MidBlock, static_argnums=(3,), policy=policy)
+            if (self.remat and skip == 0)
+            else MidBlock
+        )
         def up_cls(i):  # up block i operates at level n-1-i (coarse first)
-            return nn.remat(UpBlock, static_argnums=(4,)) if (self.remat and i >= skip) else UpBlock
+            return (
+                nn.remat(UpBlock, static_argnums=(4,), policy=policy)
+                if (self.remat and i >= skip)
+                else UpBlock
+            )
 
         # down path — collect skip residuals, starting with the stem output
         # (reference: atten_unet_model.py:1822-1829)
@@ -131,7 +184,8 @@ class AttenUNet(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 upcast_attention=self.upcast_attention,
                 dropout_cattn=self.dropout_cattn,
-                packed=self.s2d and i == 0,
+                factors=factors[i],
+                factors_down=factors[i + 1] if not is_final else None,
                 dtype=self.dtype,
                 name=f"down_{i}",
             )(h, context, deterministic)
@@ -183,19 +237,22 @@ class AttenUNet(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 upcast_attention=self.upcast_attention,
                 dropout_cattn=self.dropout_cattn,
-                packed=self.s2d and i == n - 1,
-                packed_upsample=self.s2d and i == n - 2,
+                factors=factors[n - 1 - i],
+                factors_up=factors[n - 2 - i] if not is_final else None,
                 dtype=self.dtype,
                 name=f"up_{i}",
             )(h, skips, context, deterministic)
 
-        if self.s2d:
-            h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=True, name="out_norm")(h)
+        if factors[0] is not None:
+            h = GroupNorm(
+                self.norm_num_groups, self.norm_eps, packed=True,
+                phases=phase_count(factors[0]), name="out_norm",
+            )(h)
             h = nn.silu(h)
             h = PackedConv(
-                self.out_channels, 3, zero_init=True, dtype=self.dtype, name="conv_out"
+                self.out_channels, 3, zero_init=True, factors=factors[0], dtype=self.dtype, name="conv_out"
             )(h)
-            return depth_to_space(h)
+            return depth_to_space(h, factors[0])
         h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
         h = nn.silu(h)
         h = conv(

@@ -156,7 +156,8 @@ class Decoder(nn.Module):
                     out_channels=rev_channels[i],
                     norm_num_groups=self.norm_num_groups,
                     norm_eps=self.norm_eps,
-                    packed="all" if finest_packed else "none",
+                    f_in=(2, 2, 2) if finest_packed else None,
+                    f_out=(2, 2, 2) if finest_packed else None,
                     dtype=self.dtype,
                     name=f"up_{i}_res_{j}",
                 )(h)

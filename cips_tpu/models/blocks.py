@@ -26,11 +26,32 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from cips_tpu.ops.attention import merge_heads, multi_head_attention, split_heads
-from cips_tpu.ops.s2d import PHASES, packed_conv, phase_mean, phase_tile
+from cips_tpu.ops.s2d import (
+    F8,
+    PHASES,
+    Factors,
+    packed_conv,
+    phase_count,
+    repack_pool,
+    repack_tile,
+)
 
 Dtype = jnp.dtype
+
+# Activation-checkpoint name carried by conv outputs inside the
+# rematerialised UNet blocks. With the "conv" remat policy
+# (save_only_these_names(CONV_SAVE_NAME)) the backward pass keeps those conv
+# outputs resident and recomputes only the cheap elementwise chain
+# (GroupNorm / SiLU / pad / concat) between them — the MXU work runs once.
+# Only PACKED conv outputs carry the saved name: their channel count is a
+# lane multiple (128-dense in HBM), while unpacked mid-level tensors (e.g.
+# C=32) are stored with up to 4x padding expansion (measured, v5e) — saving
+# those costs 4x their logical size, so they stay whole-block remat.
+CONV_SAVE_NAME = "resconv"
+CONV_NOSAVE_NAME = "resconv_padded"
 
 
 # ---------------------------------------------------------------------------
@@ -74,14 +95,15 @@ class GroupNorm(nn.Module):
     numerically fragile spot, see SURVEY.md §7 "hard parts") and cast back.
 
     ``packed=True``: the input is a space-to-depth representation
-    (B, Z, Y, X, 8C); the phase axis is reshaped to spatial so the result
+    (B, Z, Y, X, P*C); the phase axis is reshaped to spatial so the result
     is bit-identical to GN on the full-resolution tensor, with the same
-    (C,)-shaped scale/bias parameters.
+    (C,)-shaped scale/bias parameters. ``phases`` = P of the packing.
     """
 
     num_groups: int
     epsilon: float = 1e-6
     packed: bool = False
+    phases: int = PHASES
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -89,7 +111,7 @@ class GroupNorm(nn.Module):
         orig_dtype = x.dtype
         orig_shape = x.shape
         if self.packed:
-            x = x.reshape(*x.shape[:-1], PHASES, x.shape[-1] // PHASES)
+            x = x.reshape(*x.shape[:-1], self.phases, x.shape[-1] // self.phases)
         x = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
@@ -107,23 +129,25 @@ class PackedConv(nn.Module):
     The parameter tree matches `conv()` exactly ((k,k,k,Cin,Cout) kernel +
     (Cout,) bias under the same names), so a packed model and its unpacked
     twin share checkpoints; only the runtime arithmetic differs (the kernel
-    is scattered to (8Cin, 8Cout) at trace time — ops/s2d.py).
+    is scattered to (P*Cin, P*Cout) at trace time — ops/s2d.py).
     """
 
     features: int
     kernel: int = 3
     zero_init: bool = False
+    factors: Factors = F8
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        cin = x.shape[-1] // PHASES
+        p = phase_count(self.factors)
+        cin = x.shape[-1] // p
         k = self.kernel
         kernel_init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         w = self.param("kernel", kernel_init, (k, k, k, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = packed_conv(x.astype(self.dtype), w.astype(self.dtype))
-        return y + jnp.tile(b.astype(y.dtype), PHASES)
+        y = packed_conv(x.astype(self.dtype), w.astype(self.dtype), f=self.factors)
+        return y + jnp.tile(b.astype(y.dtype), p)
 
 
 def conv(
@@ -193,16 +217,19 @@ class PackedUpsample(nn.Module):
     """Nearest x2 upsample + conv, producing a space-to-depth output.
 
     Parameter tree matches `Upsample` (child conv named "conv"), so packed
-    and unpacked models share checkpoints. phase_tile == nearest x2 on the
-    full grid (ops/s2d.py)."""
+    and unpacked models share checkpoints. repack_tile == nearest x2 on the
+    full grid (ops/s2d.py). ``f_in`` is the input's packing (None =
+    unpacked), ``f_out`` the produced packing."""
 
     out_channels: int
+    f_in: Optional[Factors] = None
+    f_out: Factors = F8
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = phase_tile(x)
-        return PackedConv(self.out_channels, 3, dtype=self.dtype, name="conv")(x)
+        x = repack_tile(x, self.f_in, self.f_out)
+        return PackedConv(self.out_channels, 3, factors=self.f_out, dtype=self.dtype, name="conv")(x)
 
 
 class ResnetBlock(nn.Module):
@@ -211,14 +238,11 @@ class ResnetBlock(nn.Module):
     Mirrors atten_unet_model.py:565-662 with the timestep path stripped (the
     reference never feeds one — AttenUNet.forward takes no timesteps).
 
-    ``packed`` selects the space-to-depth execution domain (exact math,
-    identical parameters — ops/s2d.py):
-      "none" — full-resolution tensors (default);
-      "all"  — input and output packed (level-0 interior blocks);
-      "down" — packed input; the 2x pool is a phase mean, output unpacked
-               (the level-0 downsampler);
-      "up"   — unpacked input; the 2x nearest upsample is a phase tile,
-               output packed (the upsampler feeding level 0).
+    ``f_in`` / ``f_out`` select the space-to-depth execution domain per side
+    (None = full-resolution; a per-axis factor tuple = packed; exact math,
+    identical parameters — ops/s2d.py). They differ only across up/down
+    blocks, where `repack_tile`/`repack_pool` carry the 2x resample and the
+    packing change in one exact transform.
     """
 
     spatial_dims: int
@@ -227,53 +251,61 @@ class ResnetBlock(nn.Module):
     down: bool = False
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
-    packed: str = "none"
+    f_in: Optional[Factors] = None
+    f_out: Optional[Factors] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        packed = self.packed
-        in_packed = packed in ("all", "down")
-        in_ch = x.shape[-1] // (PHASES if in_packed else 1)
+        f_in, f_out = self.f_in, self.f_out
+        if not (self.up or self.down):
+            assert f_in == f_out, "packing can only change across up/down blocks"
+        in_ch = x.shape[-1] // phase_count(f_in)
         out_ch = self.out_channels or in_ch
-        if packed == "up":
-            assert self.up and not self.down
-        if packed == "down":
-            assert self.down and not self.up
 
-        h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=in_packed, name="norm1")(x)
+        h = GroupNorm(
+            self.norm_num_groups, self.norm_eps, packed=f_in is not None,
+            phases=phase_count(f_in), name="norm1",
+        )(x)
         h = nn.silu(h)
 
         if self.up:
-            if packed == "up":
-                x = phase_tile(x)
-                h = phase_tile(h)
-            else:
-                x = nearest_upsample_2x(x)
-                h = nearest_upsample_2x(h)
+            x = repack_tile(x, f_in, f_out)
+            h = repack_tile(h, f_in, f_out)
         elif self.down:
-            if packed == "down":
-                x = phase_mean(x)
-                h = phase_mean(h)
-            else:
-                x = avg_pool_2x(x)
-                h = avg_pool_2x(h)
+            x = repack_pool(x, f_in, f_out)
+            h = repack_pool(h, f_in, f_out)
 
-        out_packed = packed in ("all", "up")
-        if out_packed:
-            h = PackedConv(out_ch, 3, dtype=self.dtype, name="conv1")(h)
-            h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=True, name="norm2")(h)
+        if f_out is not None:
+            h = checkpoint_name(
+                PackedConv(out_ch, 3, factors=f_out, dtype=self.dtype, name="conv1")(h), CONV_SAVE_NAME
+            )
+            h = GroupNorm(
+                self.norm_num_groups, self.norm_eps, packed=True, phases=phase_count(f_out), name="norm2"
+            )(h)
             h = nn.silu(h)
-            h = PackedConv(out_ch, 3, zero_init=True, dtype=self.dtype, name="conv2")(h)
+            h = checkpoint_name(
+                PackedConv(out_ch, 3, zero_init=True, factors=f_out, dtype=self.dtype, name="conv2")(h),
+                CONV_SAVE_NAME,
+            )
             if out_ch != in_ch:
-                x = PackedConv(out_ch, 1, dtype=self.dtype, name="skip")(x)
+                x = checkpoint_name(
+                    PackedConv(out_ch, 1, factors=f_out, dtype=self.dtype, name="skip")(x), CONV_SAVE_NAME
+                )
         else:
-            h = conv(out_ch, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv1")(h)
+            h = checkpoint_name(
+                conv(out_ch, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv1")(h), CONV_NOSAVE_NAME
+            )
             h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm2")(h)
             h = nn.silu(h)
-            h = conv(out_ch, 3, 1, self.spatial_dims, zero_init=True, dtype=self.dtype, name="conv2")(h)
+            h = checkpoint_name(
+                conv(out_ch, 3, 1, self.spatial_dims, zero_init=True, dtype=self.dtype, name="conv2")(h),
+                CONV_NOSAVE_NAME,
+            )
             if out_ch != in_ch:
-                x = conv(out_ch, 1, 1, self.spatial_dims, dtype=self.dtype, name="skip")(x)
+                x = checkpoint_name(
+                    conv(out_ch, 1, 1, self.spatial_dims, dtype=self.dtype, name="skip")(x), CONV_NOSAVE_NAME
+                )
         return x + h
 
 
@@ -489,7 +521,10 @@ class AttentionBlock(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _make_downsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype, packed=False):
+def _make_downsampler(
+    spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype,
+    f_in=None, f_out=None,
+):
     if resblock_updown:
         return ResnetBlock(
             spatial_dims=spatial_dims,
@@ -497,18 +532,22 @@ def _make_downsampler(spatial_dims, out_channels, resblock_updown, norm_num_grou
             down=True,
             norm_num_groups=norm_num_groups,
             norm_eps=norm_eps,
-            packed="down" if packed else "none",
+            f_in=f_in,
+            f_out=f_out,
             dtype=dtype,
             name="downsampler",
         )
-    if packed:
-        raise NotImplementedError("s2d level-0 requires resblock_updown=True")
+    if f_in is not None or f_out is not None:
+        raise NotImplementedError("s2d levels require resblock_updown=True")
     return Downsample(
         spatial_dims=spatial_dims, use_conv=True, out_channels=out_channels, dtype=dtype, name="downsampler"
     )
 
 
-def _make_upsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype, packed=False):
+def _make_upsampler(
+    spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype,
+    f_in=None, f_out=None,
+):
     if resblock_updown:
         return ResnetBlock(
             spatial_dims=spatial_dims,
@@ -516,12 +555,13 @@ def _make_upsampler(spatial_dims, out_channels, resblock_updown, norm_num_groups
             up=True,
             norm_num_groups=norm_num_groups,
             norm_eps=norm_eps,
-            packed="up" if packed else "none",
+            f_in=f_in,
+            f_out=f_out,
             dtype=dtype,
             name="upsampler",
         )
-    if packed:
-        raise NotImplementedError("s2d level-0 requires resblock_updown=True")
+    if f_in is not None or f_out is not None:
+        raise NotImplementedError("s2d levels require resblock_updown=True")
     return Upsample(
         spatial_dims=spatial_dims, use_conv=True, out_channels=out_channels, dtype=dtype, name="upsampler"
     )
@@ -548,7 +588,8 @@ class DownBlock(nn.Module):
     cross_attention_dim: Optional[int] = None
     upcast_attention: bool = False
     dropout_cattn: float = 0.0
-    packed: bool = False  # space-to-depth level-0 domain (no attention here)
+    factors: Optional[Factors] = None  # this level's s2d packing (no attention on packed levels)
+    factors_down: Optional[Factors] = None  # the downsampled level's packing
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -558,7 +599,7 @@ class DownBlock(nn.Module):
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
     ):
-        if self.packed and self.attention_mode is not None:
+        if self.factors is not None and self.attention_mode is not None:
             raise NotImplementedError("s2d level must not carry attention")
         outputs = []
         for i in range(self.num_res_blocks):
@@ -567,7 +608,8 @@ class DownBlock(nn.Module):
                 out_channels=self.out_channels,
                 norm_num_groups=self.norm_num_groups,
                 norm_eps=self.norm_eps,
-                packed="all" if self.packed else "none",
+                f_in=self.factors,
+                f_out=self.factors,
                 dtype=self.dtype,
                 name=f"resnet_{i}",
             )(h)
@@ -607,7 +649,8 @@ class DownBlock(nn.Module):
                 self.norm_num_groups,
                 self.norm_eps,
                 self.dtype,
-                packed=self.packed,
+                f_in=self.factors,
+                f_out=self.factors_down,
             )(h)
             outputs.append(h)
         return h, outputs
@@ -689,8 +732,8 @@ class UpBlock(nn.Module):
     cross_attention_dim: Optional[int] = None
     upcast_attention: bool = False
     dropout_cattn: float = 0.0
-    packed: bool = False  # this block runs in the s2d level-0 domain
-    packed_upsample: bool = False  # this block's upsampler feeds a packed level
+    factors: Optional[Factors] = None  # this level's s2d packing
+    factors_up: Optional[Factors] = None  # the upsampled (finer) level's packing
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -701,7 +744,7 @@ class UpBlock(nn.Module):
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        if self.packed and self.attention_mode is not None:
+        if self.factors is not None and self.attention_mode is not None:
             raise NotImplementedError("s2d level must not carry attention")
         res_list = list(res_list)
         for i in range(self.num_res_blocks):
@@ -709,13 +752,14 @@ class UpBlock(nn.Module):
             # packed: channels are phase-major, so packed-with-packed concat
             # on the channel axis is NOT the full-res concat; interleave per
             # phase instead.
-            if self.packed:
-                c_h = h.shape[-1] // PHASES
-                c_r = res.shape[-1] // PHASES
-                hr = h.reshape(*h.shape[:-1], PHASES, c_h)
-                rr = res.reshape(*res.shape[:-1], PHASES, c_r)
+            if self.factors is not None:
+                p = phase_count(self.factors)
+                c_h = h.shape[-1] // p
+                c_r = res.shape[-1] // p
+                hr = h.reshape(*h.shape[:-1], p, c_h)
+                rr = res.reshape(*res.shape[:-1], p, c_r)
                 h = jnp.concatenate([hr, rr], axis=-1).reshape(
-                    *h.shape[:-1], PHASES * (c_h + c_r)
+                    *h.shape[:-1], p * (c_h + c_r)
                 )
             else:
                 h = jnp.concatenate([h, res], axis=-1)
@@ -724,7 +768,8 @@ class UpBlock(nn.Module):
                 out_channels=self.out_channels,
                 norm_num_groups=self.norm_num_groups,
                 norm_eps=self.norm_eps,
-                packed="all" if self.packed else "none",
+                f_in=self.factors,
+                f_out=self.factors,
                 dtype=self.dtype,
                 name=f"resnet_{i}",
             )(h)
@@ -763,7 +808,8 @@ class UpBlock(nn.Module):
                 self.norm_num_groups,
                 self.norm_eps,
                 self.dtype,
-                packed=self.packed_upsample,
+                f_in=self.factors,
+                f_out=self.factors_up,
             )(h)
         return h
 

@@ -104,7 +104,8 @@ class DiffusionModelDecoder(nn.Module):
                     out_channels=self.num_channels[i],
                     norm_num_groups=self.norm_num_groups,
                     norm_eps=self.norm_eps,
-                    packed="all" if finest_packed else "none",
+                    f_in=(2, 2, 2) if finest_packed else None,
+                    f_out=(2, 2, 2) if finest_packed else None,
                     dtype=self.dtype,
                     name=f"up_{i}_resnet_{j}",
                 )(h)
@@ -132,7 +133,7 @@ class DiffusionModelDecoder(nn.Module):
                         up=True,
                         norm_num_groups=self.norm_num_groups,
                         norm_eps=self.norm_eps,
-                        packed="up" if to_packed else "none",
+                        f_out=(2, 2, 2) if to_packed else None,
                         dtype=self.dtype,
                         name=f"up_{i}_upsampler",
                     )(h)

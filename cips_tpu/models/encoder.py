@@ -99,7 +99,8 @@ class DiffusionModelEncoder(nn.Module):
                 transformer_num_layers=self.transformer_num_layers,
                 cross_attention_dim=self.cross_attention_dim,
                 upcast_attention=self.upcast_attention,
-                packed=self.s2d and i == 0,
+                factors=(2, 2, 2) if (self.s2d and i == 0) else None,
+                factors_down=None,
                 dtype=self.dtype,
                 name=f"down_{i}",
             )(h, context, deterministic)

@@ -1,107 +1,164 @@
-"""Space-to-depth (packed) level-0 arithmetic — exact, TPU-layout-optimal.
+"""Space-to-depth (packed) arithmetic — exact, TPU-layout-optimal.
 
-Motivation (BENCH_NOTES.md profiling): the UNet's finest level runs 3-D
-convs with 16 output channels; on TPU the 128-lane MXU/VPU then works at
-1/8 occupancy and XLA pads level-0 buffers 8x. Packing 2x2x2 voxel cells
-into channels turns every level-0 tensor into a 128-channel half-resolution
-tensor — full lanes, no padding — while computing *exactly* the same
-function with *exactly* the same parameters:
+Motivation (BENCH_NOTES.md profiling): the UNet's fine levels run 3-D convs
+with 16-32 channels; on TPU the 128-lane MXU/VPU then works at 1/8-1/4
+occupancy and XLA pads the activations up to 8x in HBM (measured 4x at
+C=32). Packing spatial cells into channels turns those tensors into
+128-channel reduced-resolution tensors — full lanes, no padding — while
+computing *exactly* the same function with *exactly* the same parameters:
 
   * conv k3 s1 on the full grid == conv k3 s1 on the packed grid whose
-    (8*Cin, 8*Cout) kernel is a fixed scatter of the original
-    (Cin, Cout) kernel (`pack_conv_kernel`);
+    (P*Cin, P*Cout) kernel is a fixed scatter of the original (Cin, Cout)
+    kernel (`pack_conv_kernel`);
   * GroupNorm over channels == GroupNorm with the phase axis treated as
-    spatial (`packed_group_norm_reshape`);
-  * 2x average-pool == mean over the 8 phases (`phase_mean`) — pooling
-    windows coincide with packing cells;
-  * nearest 2x upsample == tiling over phases (`phase_tile`);
+    spatial (blocks.GroupNorm packed=True);
+  * 2x average-pool / nearest-upsample and the transitions between levels
+    packed with DIFFERENT factors are compositions of the (de)packing
+    reshapes with the full-grid op (`repack_pool`, `repack_tile`);
   * elementwise ops are positionwise in either representation.
 
-Packing order: phase-major channels, p = az*4 + ay*2 + ax, packed channel
-index = p*C + c. Measured on v5e: the packed conv runs 1.35x FASTER than
-the full-res original despite doing 8x the MACs (scripts/probe_s2d_conv.py).
+Packing is **anisotropic**: per-axis factors f = (fz, fy, fx), each 1 or 2,
+P = fz*fy*fx phases. Choose f per level so C*P == 128 exactly:
+level 0 (C=16) -> (2,2,2); level 1 (C=32) -> (2,2,1). Phase-major channel
+order: packed channel index = p*C + c with p = (az*fy + ay)*fx + ax.
+
+The packed conv runs as a DENSE k-3 conv over the scattered kernel: it
+issues P-times the mathematical MACs, but the MXU executes it at ~63%
+utilisation (measured, v5e) — faster than every sparsity-exploiting
+XLA-level formulation tried (see `packed_conv_phase`), and P-times-denser
+activations also cut HBM traffic and footprint.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-PHASES = 8  # 2x2x2
+Factors = Tuple[int, int, int]
+F8: Factors = (2, 2, 2)
+PHASES = 8  # phase count of the default (2,2,2) packing
 
 
-def space_to_depth(x: jax.Array) -> jax.Array:
-    """(B, 2Z, 2Y, 2X, C) -> (B, Z, Y, X, 8C), phase-major channels."""
+def phase_count(f: Optional[Factors]) -> int:
+    return 1 if f is None else f[0] * f[1] * f[2]
+
+
+def space_to_depth(x: jax.Array, f: Factors = F8) -> jax.Array:
+    """(B, fz*Z, fy*Y, fx*X, C) -> (B, Z, Y, X, P*C), phase-major channels."""
     b, d, h, w, c = x.shape
-    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    fz, fy, fx = f
+    x = x.reshape(b, d // fz, fz, h // fy, fy, w // fx, fx, c)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-    return x.reshape(b, d // 2, h // 2, w // 2, PHASES * c)
+    return x.reshape(b, d // fz, h // fy, w // fx, phase_count(f) * c)
 
 
-def depth_to_space(x: jax.Array) -> jax.Array:
-    """(B, Z, Y, X, 8C) -> (B, 2Z, 2Y, 2X, C)."""
+def depth_to_space(x: jax.Array, f: Factors = F8) -> jax.Array:
+    """(B, Z, Y, X, P*C) -> (B, fz*Z, fy*Y, fx*X, C)."""
     b, z, y, w, pc = x.shape
-    c = pc // PHASES
-    x = x.reshape(b, z, y, w, 2, 2, 2, c)
+    fz, fy, fx = f
+    c = pc // phase_count(f)
+    x = x.reshape(b, z, y, w, fz, fy, fx, c)
     x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, fz * z, fy * y, fx * w, c)
+
+
+def phase_mean(x: jax.Array, f: Factors = F8) -> jax.Array:
+    """Packed (B,Z,Y,X,P*C) -> (B,Z,Y,X,C): mean over phases
+    (== avg_pool with window f on the full grid)."""
+    b, z, y, w, pc = x.shape
+    p = phase_count(f)
+    return x.reshape(b, z, y, w, p, pc // p).mean(axis=4)
+
+
+def phase_tile(x: jax.Array, f: Factors = F8) -> jax.Array:
+    """(B,Z,Y,X,C) -> packed (B,Z,Y,X,P*C): every phase identical
+    (== nearest upsample by f on the full grid)."""
+    return jnp.tile(x, (1,) * (x.ndim - 1) + (phase_count(f),))
+
+
+def _pool2(x: jax.Array) -> jax.Array:
+    """2x average pool over the three spatial axes of (B, Z, Y, X, C).
+
+    Reshape + mean (not reduce_window) so the op linearises cleanly inside
+    jax.checkpoint policies."""
+    b, z, y, w, c = x.shape
+    x = x.reshape(b, z // 2, 2, y // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(2, 4, 6))
+
+
+def _tile2(x: jax.Array) -> jax.Array:
+    """Nearest 2x upsample over the three spatial axes (broadcast + reshape)."""
+    b, z, y, w, c = x.shape
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :, None, :], (b, z, 2, y, 2, w, 2, c)
+    )
     return x.reshape(b, 2 * z, 2 * y, 2 * w, c)
 
 
-def phase_mean(x: jax.Array) -> jax.Array:
-    """Packed (B,Z,Y,X,8C) -> (B,Z,Y,X,C): mean over phases
-    (== avg_pool 2x2x2 stride 2 on the full grid)."""
-    b, z, y, w, pc = x.shape
-    c = pc // PHASES
-    return x.reshape(b, z, y, w, PHASES, c).mean(axis=4)
+def repack_pool(x: jax.Array, f_in: Optional[Factors], f_out: Optional[Factors]) -> jax.Array:
+    """2x average-pool a level-i tensor (packing f_in) into the level-(i+1)
+    domain (packing f_out). Exact == avg_pool_2x on the full grids."""
+    if f_in == F8 and f_out is None:
+        return phase_mean(x)  # fast path: pooling windows == packing cells
+    full = depth_to_space(x, f_in) if f_in else x
+    pooled = _pool2(full)
+    return space_to_depth(pooled, f_out) if f_out else pooled
 
 
-def phase_tile(x: jax.Array) -> jax.Array:
-    """(B,Z,Y,X,C) -> packed (B,Z,Y,X,8C): every phase identical
-    (== nearest 2x upsample on the full grid)."""
-    return jnp.tile(x, (1,) * (x.ndim - 1) + (PHASES,))
+def repack_tile(x: jax.Array, f_in: Optional[Factors], f_out: Optional[Factors]) -> jax.Array:
+    """Nearest-2x-upsample a level-i tensor (packing f_in) into the
+    level-(i-1) domain (packing f_out)."""
+    if f_in is None and f_out == F8:
+        return phase_tile(x)  # fast path: tiling cells == packing cells
+    full = depth_to_space(x, f_in) if f_in else x
+    up = _tile2(full)
+    return space_to_depth(up, f_out) if f_out else up
 
 
 @lru_cache(maxsize=None)
-def _scatter_indices(k: int) -> Tuple[np.ndarray, np.ndarray]:
+def _scatter_indices(k: int, f: Factors = F8) -> Tuple[np.ndarray, np.ndarray]:
     """Static index maps for pack_conv_kernel: for each (output phase,
     kernel offset) where does the original tap land in the packed kernel.
 
     Returns (dst, src): dst columns are (Kz, Ky, Kx, q_phase, p_phase);
     src columns are (dz, dy, dx) of the original kernel. k in {1, 3}.
+    Packed-kernel support stays k (cells -1..1 for k=3) on every axis,
+    whether that axis is packed (factor 2) or not (factor 1).
     """
     assert k in (1, 3)
     dst, src = [], []
-    phases = [(a, b, c) for a in range(2) for b in range(2) for c in range(2)]
-    for pi, (a, b, c) in enumerate(phases):
+    fz, fy, fx = f
+    phases = [(a, b, c) for a in range(fz) for b in range(fy) for c in range(fx)]
+    for pi, ph in enumerate(phases):
         for dz in range(k):
             for dy in range(k):
                 for dx in range(k):
                     off = [dz - (k // 2), dy - (k // 2), dx - (k // 2)]
-                    ts = [a + off[0], b + off[1], c + off[2]]
-                    qs = [t % 2 for t in ts]
-                    ks = [(t - q) // 2 for t, q in zip(ts, qs)]
-                    qi = qs[0] * 4 + qs[1] * 2 + qs[2]
-                    # packed kernel is k=3 for k=3 (cells -1..1), k=1 for k=1
+                    ts = [a + o for a, o in zip(ph, off)]
+                    qs = [t % ff for t, ff in zip(ts, f)]
+                    ks = [(t - q) // ff for t, q, ff in zip(ts, qs, f)]
+                    qi = (qs[0] * fy + qs[1]) * fx + qs[2]
                     kk = 1 if k == 3 else 0
                     dst.append((ks[0] + kk, ks[1] + kk, ks[2] + kk, qi, pi))
                     src.append((dz, dy, dx))
     return np.asarray(dst, np.int32), np.asarray(src, np.int32)
 
 
-def pack_conv_kernel(w: jax.Array) -> jax.Array:
-    """(k,k,k,Cin,Cout) -> (k,k,k,8Cin,8Cout) packed-domain kernel.
+def pack_conv_kernel(w: jax.Array, f: Factors = F8) -> jax.Array:
+    """(k,k,k,Cin,Cout) -> (k,k,k,P*Cin,P*Cout) packed-domain kernel.
 
-    conv(full_grid_x, w) == depth_to_space(conv(space_to_depth(x), W)).
+    conv(full_grid_x, w) == depth_to_space(conv(space_to_depth(x, f), W), f).
     Differentiable scatter of the original weights (parameters unchanged).
     """
     k, _, _, cin, cout = w.shape
-    dst, src = _scatter_indices(k)
+    p = phase_count(f)
+    dst, src = _scatter_indices(k, f)
     kk = 3 if k == 3 else 1
-    big = jnp.zeros((kk, kk, kk, PHASES * cin, PHASES * cout), w.dtype)
+    big = jnp.zeros((kk, kk, kk, p * cin, p * cout), w.dtype)
 
     # advanced-index scatter: one (Cin, Cout) block per mapping row
     taps = w[src[:, 0], src[:, 1], src[:, 2]]  # (n, Cin, Cout)
@@ -116,10 +173,13 @@ def pack_conv_kernel(w: jax.Array) -> jax.Array:
     return big.at[kz, ky, kx, qin, pout].set(taps.reshape(-1))
 
 
-def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
-    """Convolution in the packed domain with an original-parameter kernel."""
-    assert stride == 1, "packed domain only hosts stride-1 convs"
-    wp = pack_conv_kernel(w.astype(x.dtype))
+def packed_conv_dense(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
+    """Packed conv as a dense conv over the scattered (P*Cin, P*Cout) kernel.
+
+    Issues P-times the mathematical MACs (the scattered kernel is 1/P dense
+    and the MXU cannot exploit the sparsity) but runs at ~63% MXU
+    utilisation (measured, v5e) — the production path."""
+    wp = pack_conv_kernel(w.astype(x.dtype), f)
     k = wp.shape[0]
     pad = (k - 1) // 2
     # MXU accumulates bf16 products in fp32 internally; matching operand
@@ -131,3 +191,103 @@ def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
         [(pad, pad)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
+
+
+@lru_cache(maxsize=None)
+def _phase_kernel_indices() -> Tuple[np.ndarray, np.ndarray]:
+    """Static index maps for `pack_conv_kernel_phase` (k=3, (2,2,2) packing).
+
+    In the phase-shifted representation (see `_phase_shift_input`) the packed
+    conv becomes ONE dense VALID k-2 conv. Per axis, a tap of the original
+    kernel at offset d feeding output phase p from input phase q lands at
+    k-2 position ``k`` with d = 2k - p + 1 - q; taps with d outside [0, 2]
+    do not exist (stay zero). 216 of the 512 (k, q, p) axis-triples are
+    live — 27 original taps x 8 output phases.
+    """
+    dst, src = [], []
+    axes = [(k, q, p) for k in range(2) for q in range(2) for p in range(2)]
+    for kz, qz, pz in axes:
+        dz = 2 * kz - pz + 1 - qz
+        if not 0 <= dz <= 2:
+            continue
+        for ky, qy, py in axes:
+            dy = 2 * ky - py + 1 - qy
+            if not 0 <= dy <= 2:
+                continue
+            for kx, qx, px in axes:
+                dx = 2 * kx - px + 1 - qx
+                if not 0 <= dx <= 2:
+                    continue
+                qi = qz * 4 + qy * 2 + qx
+                pi = pz * 4 + py * 2 + px
+                dst.append((kz, ky, kx, qi, pi))
+                src.append((dz, dy, dx))
+    return np.asarray(dst, np.int32), np.asarray(src, np.int32)
+
+
+def pack_conv_kernel_phase(w: jax.Array) -> jax.Array:
+    """(3,3,3,Cin,Cout) -> (2,2,2,8Cin,8Cout) phase-structured kernel.
+
+    Combined with `_phase_shift_input`, a VALID k-2 conv computes the exact
+    packed conv with 2.37x the mathematical MACs instead of 8x."""
+    k, _, _, cin, cout = w.shape
+    assert k == 3
+    dst, src = _phase_kernel_indices()
+    big = jnp.zeros((2, 2, 2, PHASES * cin, PHASES * cout), w.dtype)
+    taps = w[src[:, 0], src[:, 1], src[:, 2]]  # (n, Cin, Cout)
+    ci = np.arange(cin)
+    co = np.arange(cout)
+    n = dst.shape[0]
+    kz = np.repeat(dst[:, 0], cin * cout)
+    ky = np.repeat(dst[:, 1], cin * cout)
+    kx = np.repeat(dst[:, 2], cin * cout)
+    qin = np.repeat(dst[:, 3] * cin, cin * cout) + np.tile(np.repeat(ci, cout), n)
+    pout = np.repeat(dst[:, 4] * cout, cin * cout) + np.tile(np.tile(co, cin), n)
+    return big.at[kz, ky, kx, qin, pout].set(taps.reshape(-1))
+
+
+def _phase_shift_input(x: jax.Array) -> jax.Array:
+    """(B,Z,Y,X,8C) -> (B,Z+1,Y+1,X+1,8C): shift phase group q by q per axis.
+
+    Input phase q per axis reaches output cells at shifts {0,1} (q=0) or
+    {-1,0} (q=1); padding group q by (q, 1-q) aligns every group onto the
+    common VALID k-2 window. The zero padding reproduces the full-grid
+    conv's zero boundary exactly."""
+    c = x.shape[-1] // PHASES
+    parts = []
+    for qz in range(2):
+        for qy in range(2):
+            for qx in range(2):
+                qi = qz * 4 + qy * 2 + qx
+                parts.append(
+                    jnp.pad(
+                        x[..., qi * c : (qi + 1) * c],
+                        [(0, 0), (qz, 1 - qz), (qy, 1 - qy), (qx, 1 - qx), (0, 0)],
+                    )
+                )
+    return jnp.concatenate(parts, axis=-1)
+
+
+def packed_conv_phase(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Phase-structured packed conv expressed in XLA ops.
+
+    Exact, and issues only 2.37x the mathematical MACs (vs 8x dense), but
+    measured SLOWER than `packed_conv_dense` on v5e (24 ms vs 8.4 ms at the
+    flagship level-0 shape): the per-phase-group shift/pad/concat relayout
+    dominates, while XLA runs the dense k-3 conv at ~63% MXU utilisation.
+    Kept as the semantics reference for a fused Pallas kernel where the
+    phase shift is free inside VMEM (scripts/probe_phase_conv.py)."""
+    wp = pack_conv_kernel_phase(w.astype(x.dtype))
+    return jax.lax.conv_general_dilated(
+        _phase_shift_input(x),
+        wp,
+        (1, 1, 1),
+        [(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1, f: Factors = F8) -> jax.Array:
+    """Convolution in the packed domain with an original-parameter kernel."""
+    assert stride == 1, "packed domain only hosts stride-1 convs"
+    return packed_conv_dense(x, w, f)

@@ -51,6 +51,7 @@ def build_models(
     n_covariates: int,
     dtype=jnp.bfloat16,
     remat: bool = True,
+    remat_policy: Optional[str] = "conv",
     s2d: Optional[bool] = None,
 ) -> Tuple[AttenUNet, PatchDiscriminator, PerceptualLoss]:
     """Construct G/D/perceptual from a reference-schema config dict
@@ -63,6 +64,7 @@ def build_models(
     unet_def["cross_attention_dim"] = max(n_covariates, 1)
     unet_def["with_conditioning"] = True
     unet_def.setdefault("remat", remat)
+    unet_def.setdefault("remat_policy", remat_policy if remat else None)
     if s2d is None:
         s2d = (
             unet_def.get("spatial_dims", 3) == 3

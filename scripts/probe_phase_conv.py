@@ -1,0 +1,80 @@
+"""Probe: dense-k3 vs phase-structured packed conv on the real TPU.
+
+Times forward and forward+backward of the level-0 packed conv at the
+flagship working shape (batch 8, cells (48,64,48), C=16 -> 128 packed)
+for both implementations, plus the unpacked full-resolution original.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cips_tpu.ops.s2d import packed_conv, packed_conv_dense, space_to_depth
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+
+def timeit(fn, *args, n=20):
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda a: float(jnp.sum(a).astype(jnp.float32)), out)  # sync
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.tree_util.tree_map(lambda a: float(jnp.sum(a).astype(jnp.float32)), out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    B, Z, Y, X, C = 8, 48, 64, 48, 16
+    rng = np.random.default_rng(0)
+    x_full = jnp.asarray(rng.standard_normal((B, 2 * Z, 2 * Y, 2 * X, C)), jnp.bfloat16)
+    xp = jax.jit(space_to_depth)(x_full)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, C, C)) * 0.1, jnp.float32)
+
+    def full_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    variants = {
+        "full-res k3 (C=16)": (full_conv, x_full),
+        "packed dense k3": (packed_conv_dense, xp),
+        "packed phase k2": (packed_conv, xp),
+    }
+
+    for name, (fn, xin) in variants.items():
+        f = jax.jit(fn)
+        t_fwd = timeit(f, xin, w)
+
+        def loss(x_, w_, fn_=fn):
+            return jnp.sum(fn_(x_, w_).astype(jnp.float32))
+
+        g = jax.jit(jax.grad(loss, argnums=1))
+        t_bwd = timeit(g, xin, w)
+
+        gx = jax.jit(jax.grad(loss, argnums=0))
+        t_bwd_x = timeit(gx, xin, w)
+        print(
+            f"{name:24s} fwd {t_fwd*1e3:7.2f} ms   dW {t_bwd*1e3:7.2f} ms   dX {t_bwd_x*1e3:7.2f} ms",
+            flush=True,
+        )
+
+    # numerical cross-check on-device
+    y_dense = jax.jit(packed_conv_dense)(xp, w)
+    y_phase = jax.jit(packed_conv)(xp, w)
+    err = float(jnp.max(jnp.abs(y_dense.astype(jnp.float32) - y_phase.astype(jnp.float32))))
+    print("max |dense - phase| =", err)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,8 @@ from cips_tpu.ops.s2d import (
     packed_conv,
     phase_mean,
     phase_tile,
+    repack_pool,
+    repack_tile,
     space_to_depth,
 )
 
@@ -187,4 +189,80 @@ def test_vae_decoder_s2d_equivalence():
         np.asarray(packed.apply(params, z)),
         np.asarray(plain.apply(params, z)),
         atol=2e-5, rtol=2e-5,
+    )
+
+
+@pytest.mark.parametrize("f", [(2, 2, 1), (2, 1, 2), (1, 2, 2), (2, 1, 1), (1, 1, 2)])
+@pytest.mark.parametrize("k", [3, 1])
+def test_packed_conv_exact_anisotropic(f, k):
+    """Anisotropic packing factors compute the identical convolution."""
+    rng = np.random.default_rng(5)
+    cin, cout = 3, 4
+    x = jnp.asarray(rng.standard_normal((1, 8, 6, 4, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, k, cin, cout)), jnp.float32) * 0.2
+    want = _conv_full(x, w)
+    got = depth_to_space(packed_conv(space_to_depth(x, f), w, f=f), f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("f_in", [None, (2, 2, 2), (2, 2, 1)])
+@pytest.mark.parametrize("f_out", [None, (2, 2, 2), (2, 2, 1)])
+def test_repack_pool_tile_exact(f_in, f_out):
+    """repack_pool == avg-pool 2x and repack_tile == nearest 2x on the full
+    grids, for every packing combination of source and destination levels."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 8, 4, 8, 3)), jnp.float32)
+
+    pooled = repack_pool(space_to_depth(x, f_in) if f_in else x, f_in, f_out)
+    want_pool = nn.avg_pool(x, (2, 2, 2), (2, 2, 2))
+    got_pool = depth_to_space(pooled, f_out) if f_out else pooled
+    np.testing.assert_allclose(np.asarray(got_pool), np.asarray(want_pool), atol=1e-6)
+
+    tiled = repack_tile(space_to_depth(x, f_in) if f_in else x, f_in, f_out)
+    want_tile = x
+    for axis in (1, 2, 3):
+        want_tile = jnp.repeat(want_tile, 2, axis=axis)
+    got_tile = depth_to_space(tiled, f_out) if f_out else tiled
+    np.testing.assert_allclose(np.asarray(got_tile), np.asarray(want_tile), atol=1e-6)
+
+
+def test_atten_unet_two_level_s2d_equivalence():
+    """Packing levels 0 (2,2,2) and 1 (2,2,1) computes exactly the same
+    function with the same parameter tree (the flagship configuration)."""
+    from cips_tpu.models.atten_unet import AttenUNet
+
+    kwargs = dict(
+        spatial_dims=3,
+        num_res_blocks=1,
+        num_channels=(8, 8, 16),
+        norm_num_groups=8,
+        attention_levels=(False, False, True),
+        num_head_channels=(0, 0, 8),
+        resblock_updown=True,
+        with_conditioning=True,
+        cross_attention_dim=3,
+    )
+    plain = AttenUNet(**kwargs)
+    packed = AttenUNet(s2d=True, s2d_factors=((2, 2, 2), (2, 2, 1), None), **kwargs)
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 8, 1)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 3)), jnp.float32)
+
+    params = plain.init(jax.random.key(0), x, ctx)
+    params2 = packed.init(jax.random.key(0), x, ctx)
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(params2)}
+    assert len(flat1) == len(flat2)
+    for key, v in flat1:
+        ks = jax.tree_util.keystr(key)
+        assert ks in flat2, ks
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(flat2[ks]), err_msg=ks)
+
+    y_plain = plain.apply(params, x, ctx)
+    y_packed = packed.apply(params, x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(y_packed), np.asarray(y_plain), atol=2e-5, rtol=2e-5
     )
