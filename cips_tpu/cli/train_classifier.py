@@ -43,6 +43,7 @@ def exp_subdir(args) -> str:
 
 
 def iter_batches(ds, batch_size, shuffle, seed, epoch):
+    """Synchronous per-sample decode fallback (--streaming)."""
     order = np.arange(len(ds))
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
@@ -55,6 +56,35 @@ def iter_batches(ds, batch_size, shuffle, seed, epoch):
         info = np.stack([s[1] for s in samples])[:, None, :]
         labels = np.asarray([s[2] for s in samples], np.int32)
         yield {"imgs": jnp.asarray(imgs), "info": jnp.asarray(info), "labels": jnp.asarray(labels)}
+
+
+def make_mci_loaders(args, train_ds, eval_ds, exp):
+    """Packed memory-mapped loaders (decode once, stream batches) — the
+    classifier counterpart of common.make_loaders. --streaming keeps the
+    per-epoch decode path for churning datasets."""
+    from cips_tpu.data.dataset import MCIBatchLoader, PackedMCIDataset, pack_mci
+
+    def ensure(ds, packed_dir, tag):
+        if packed_dir and os.path.exists(os.path.join(packed_dir, "volumes.npy")):
+            return PackedMCIDataset(packed_dir)
+        out = packed_dir or os.path.join(exp, f"packed_{tag}")
+        if not os.path.exists(os.path.join(out, "volumes.npy")):
+            pack_mci(ds, out)
+        return PackedMCIDataset(out)
+
+    train_packed = ensure(train_ds, args.packed_dir, "train")
+    # fake-PET eval reads rec.nii.gz volumes — never reuse the real-PET pack
+    eval_tag = "eval_fake" if getattr(args, "test_fake_pet", False) else "eval"
+    eval_packed = ensure(eval_ds, args.eval_packed_dir, eval_tag)
+    train_loader = MCIBatchLoader(
+        train_packed, args.batch_size, seed=args.seed,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    eval_loader = MCIBatchLoader(
+        eval_packed, args.batch_size, shuffle=False, drop_last=False,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    return train_loader, eval_loader
 
 
 def build_dataset(args, need_values, train: bool, fake_pet: bool = False):
@@ -115,12 +145,19 @@ def main(argv=None):
     train_ds = build_dataset(args, need_values, train=True)
     eval_ds = build_dataset(args, need_values, train=False, fake_pet=args.test_fake_pet)
     print(f"train {len(train_ds)} sessions, eval {len(eval_ds)} sessions")
+    if args.streaming:
+        train_batches = lambda epoch: iter_batches(train_ds, args.batch_size, True, args.seed, epoch)
+        eval_batches = lambda: iter_batches(eval_ds, args.batch_size, False, 0, 0)
+    else:
+        train_loader, eval_loader = make_mci_loaders(args, train_ds, eval_ds, exp)
+        train_batches = lambda epoch: train_loader.epoch(epoch)
+        eval_batches = lambda: eval_loader.epoch(0)
 
     rng = jax.random.key(args.seed + 1)
     global_step = 0
     for epoch in range(args.epochs):
         logits_all, labels_all = [], []
-        for batch in iter_batches(train_ds, args.batch_size, True, args.seed, epoch):
+        for batch in train_batches(epoch):
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
             logits_all.append(np.asarray(metrics["logits"], np.float32))
@@ -133,9 +170,9 @@ def main(argv=None):
             writer.scalars("training", m, epoch)
             print(f"epoch {epoch} train: {metrics_row(m)} (f1&auc&acc&prec&rec)")
 
-        # eval epoch
+        # eval epoch (batched)
         logits_all, labels_all = [], []
-        for batch in iter_batches(eval_ds, 1, False, 0, 0):
+        for batch in eval_batches():
             logits_all.append(np.asarray(predict(state.model.params, batch), np.float32))
             labels_all.append(np.asarray(batch["labels"]))
         if labels_all:

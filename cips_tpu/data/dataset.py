@@ -352,6 +352,104 @@ class PackedDataset:
         return self.volumes.shape[0]
 
 
+def pack_mci(dataset: "MCIClassificationDataset", out_dir: str, dtype=np.float16) -> str:
+    """Decode+preprocess every MCI-classification session once into
+    memory-mapped arrays (the classifier counterpart of `pack_pairs`,
+    killing the per-epoch NIfTI decode loop of the reference's
+    num_workers=0 DataLoader — pet_for_classification/dataset.py:18-168).
+
+    Writes volumes.npy (N, D, H, W, C) ``dtype``, covariates.npy (N, K)
+    float32, labels.npy (N,) int32 and index.json. Returns ``out_dir``.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(dataset)
+    d, h, w = dataset.crop_size
+    c = int(dataset.use_pet) + int(dataset.use_t1)
+    k = len(dataset.need_values)
+    vols = np.lib.format.open_memmap(
+        os.path.join(out_dir, "volumes.npy"), mode="w+", dtype=dtype, shape=(n, d, h, w, c)
+    )
+    covs = np.zeros((n, k), np.float32)
+    labels = np.zeros((n,), np.int32)
+    index = []
+    for i in range(n):
+        imgs, info, label, subject, pet_date, t1_date = dataset[i]
+        vols[i] = imgs.astype(dtype)
+        if k:
+            covs[i] = info
+        labels[i] = label
+        index.append({"subject": subject, "pet_date": pet_date, "t1_date": t1_date})
+    vols.flush()
+    np.save(os.path.join(out_dir, "covariates.npy"), covs)
+    np.save(os.path.join(out_dir, "labels.npy"), labels)
+    with open(os.path.join(out_dir, "index.json"), "w", encoding="utf-8") as f:
+        json.dump({"need_values": dataset.need_values, "rows": index}, f)
+    return out_dir
+
+
+class PackedMCIDataset:
+    """Memory-mapped packed classification sessions written by `pack_mci`."""
+
+    def __init__(self, path: str):
+        self.volumes = np.load(os.path.join(path, "volumes.npy"), mmap_mode="r")
+        self.covariates = np.load(os.path.join(path, "covariates.npy"))
+        self.labels = np.load(os.path.join(path, "labels.npy"))
+        with open(os.path.join(path, "index.json"), encoding="utf-8") as f:
+            meta = json.load(f)
+        self.need_values = meta["need_values"]
+        self.index = meta["rows"]
+
+    def __len__(self) -> int:
+        return self.volumes.shape[0]
+
+
+class MCIBatchLoader:
+    """Shuffled epoch iterator over a PackedMCIDataset with host sharding.
+
+    Yields {"imgs": (B,D,H,W,C), "info": (B,1,K), "labels": (B,)} numpy
+    batches (classifier_task's batch schema)."""
+
+    def __init__(
+        self,
+        packed: PackedMCIDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.packed = packed
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.packed)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        order = order[self.process_index :: self.process_count]
+        num_batches = len(order) // self.batch_size
+        if not self.drop_last and len(order) % self.batch_size:
+            num_batches += 1
+        for b in range(num_batches):
+            idx = np.sort(order[b * self.batch_size : (b + 1) * self.batch_size])
+            yield {
+                "imgs": self.packed.volumes[idx].astype(np.float32),
+                "info": self.packed.covariates[idx][:, None, :],
+                "labels": self.packed.labels[idx],
+            }
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.packed) // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+
 class StreamingLoader:
     """Epoch iterator decoding NIfTIs on the fly via the native C++ prefetch
     pool — for datasets too large (or too churning) to pack. Decode overlaps
