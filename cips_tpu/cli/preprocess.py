@@ -76,7 +76,8 @@ def cmd_reg(args):
 
 def cmd_downsample(args):
     n = prep.create_t1_downsample(
-        args.T1_dir, args.out_dir, new_spacing=tuple(args.spacing), crop_size=tuple(args.crop)
+        args.T1_dir, args.out_dir, new_spacing=tuple(args.spacing), crop_size=tuple(args.crop),
+        template_path=args.template,
     )
     print(f"downsampled {n} T1 sessions")
 
@@ -159,6 +160,9 @@ def main(argv=None):
     sp.add_argument("--out_dir", required=True)
     sp.add_argument("--spacing", type=float, nargs=3, default=[1.5, 1.5, 1.5])
     sp.add_argument("--crop", type=int, nargs=3, default=[96, 128, 96])
+    sp.add_argument("--template", default=None,
+                    help="MNI/ICBM-152 template NIfTI: rigid-register each T1 "
+                         "to it first (reg_to_T1.py reg_to_mni_first)")
     sp.set_defaults(fn=cmd_downsample)
 
     sp = sub.add_parser("mask")

@@ -106,9 +106,19 @@ def create_t1_downsample(
     crop_size: Tuple[int, int, int] = (96, 128, 96),
     bias_correct: bool = True,
     overwrite: bool = False,
+    template_path: Optional[str] = None,
+    metric: str = "ncc",
 ) -> int:
     """N4 + resample-to-mm + center pad/crop for every T1 session
-    (reg_to_T1.py:25-60; crop to the working shape as pair_reg.py:48)."""
+    (reg_to_T1.py:25-60; crop to the working shape as pair_reg.py:48).
+
+    ``template_path`` enables the reference's ``reg_to_mni_first`` branch
+    (reg_to_T1.py:27,51-52): rigid-register each T1 onto the MNI/ICBM-152
+    template first and continue from the template grid/spacing. (The
+    reference's (160,224,160) template mask is computed but never applied
+    there — dead code — so none is applied here either.)
+    """
+    template = nifti.read(template_path) if template_path else None
     n_done = 0
     for subject, dates in scan_session_dirs(t1_root).items():
         for date in dates:
@@ -121,9 +131,15 @@ def create_t1_downsample(
                 continue
             img = nifti.read(t1_path)
             vol = jnp.asarray(img.data, jnp.float32)
+            spacing = img.spacing
+            if template is not None:
+                fixed = jnp.asarray(template.data, jnp.float32)
+                result = register_rigid(vol, fixed, metric=metric)
+                vol = apply_transform(vol, result.matrix, out_shape=template.data.shape)
+                spacing = template.spacing
             if bias_correct:
                 vol = n4_bias_correct(vol)
-            vol = resample_spacing(vol, img.spacing[::-1], new_spacing[::-1])
+            vol = resample_spacing(vol, spacing[::-1], new_spacing[::-1])
             arr = pad_crop_np(np.asarray(vol, np.float32), crop_size)
             nifti.write(
                 out_path, nifti.NiftiImage(data=arr, spacing=new_spacing)
