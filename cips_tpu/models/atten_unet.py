@@ -105,10 +105,11 @@ class AttenUNet(nn.Module):
         if self.s2d_factors is not None:
             fs = tuple(tuple(f) if f is not None else None for f in self.s2d_factors)
             return fs + (None,) * (n - len(fs))
-        factors: list = [F8] + [None] * (n - 1)
-        if n >= 3 and not self.attention_levels[1]:
-            factors[1] = (2, 2, 1)
-        return tuple(factors)
+        # default: pack level 0 only. Level-1 (2,2,1) packing is exact and
+        # available via s2d_factors, but measured net-negative on v5e (the
+        # repack transitions cost more than the lane-density win —
+        # scripts/probe_l1_pack.py).
+        return (F8,) + (None,) * (n - 1)
 
     @nn.compact
     def __call__(

@@ -87,17 +87,34 @@ def avg_pool_2x(x: jax.Array) -> jax.Array:
     return nn.avg_pool(x, window_shape=window, strides=window)
 
 
-class GroupNorm(nn.Module):
-    """Group normalisation computed in fp32 regardless of activation dtype.
+class _GNScaleBias(nn.Module):
+    """Parameter holder named GroupNorm_0 so the tree matches nn.GroupNorm
+    (checkpoint / torch-importer compatibility)."""
 
-    The reference runs fp32 end-to-end; under bf16 compute we keep the
-    moment computation in fp32 (the variance of bf16 activations is the one
-    numerically fragile spot, see SURVEY.md §7 "hard parts") and cast back.
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
+class GroupNorm(nn.Module):
+    """Group normalisation with fp32 statistics and activation-dtype apply.
+
+    The reference runs fp32 end-to-end; under bf16 compute the moments are
+    the one numerically fragile spot (SURVEY.md §7 "hard parts"), so they
+    accumulate in fp32 — but WITHOUT materialising an fp32 copy of the
+    tensor: the converts fuse into the reductions, and the normalisation is
+    a single fused x*w + b elementwise pass in the activation dtype
+    (profiling showed nn.GroupNorm's fp32 round trip costing ~20% of the
+    train step in convert/copy traffic).
 
     ``packed=True``: the input is a space-to-depth representation
-    (B, Z, Y, X, P*C); the phase axis is reshaped to spatial so the result
-    is bit-identical to GN on the full-resolution tensor, with the same
-    (C,)-shaped scale/bias parameters. ``phases`` = P of the packing.
+    (B, Z, Y, X, P*C); the phase axis counts as spatial so the result
+    equals GN on the full-resolution tensor, with the same (C,)-shaped
+    scale/bias parameters. ``phases`` = P of the packing.
     """
 
     num_groups: int
@@ -108,19 +125,23 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        orig_dtype = x.dtype
         orig_shape = x.shape
-        if self.packed:
-            x = x.reshape(*x.shape[:-1], self.phases, x.shape[-1] // self.phases)
-        x = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        if self.packed:
-            x = x.reshape(orig_shape)
-        return x.astype(orig_dtype)
+        b = x.shape[0]
+        p = self.phases if self.packed else 1
+        c = x.shape[-1] // p
+        g = self.num_groups
+        gs = c // g
+        scale, bias = _GNScaleBias(c, name="GroupNorm_0")()
+
+        xr = x.reshape(b, -1, p, g, gs)
+        x32 = xr.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2, 4))  # (B, G), convert fused into reduce
+        meansq = jnp.mean(jnp.square(x32), axis=(1, 2, 4))
+        inv = jax.lax.rsqrt(jnp.maximum(meansq - jnp.square(mean), 0.0) + self.epsilon)
+        w = inv[:, :, None] * scale.reshape(g, gs)[None]  # (B, G, gs) fp32
+        off = bias.reshape(g, gs)[None] - mean[:, :, None] * w
+        y = xr * w[:, None, None].astype(x.dtype) + off[:, None, None].astype(x.dtype)
+        return y.reshape(orig_shape)
 
 
 class PackedConv(nn.Module):
