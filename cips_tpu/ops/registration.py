@@ -25,19 +25,37 @@ import optax
 from cips_tpu.ops.resample import affine_warp, resize_trilinear, rigid_matrix
 
 
-def ncc_loss(a: jax.Array, b: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Negative normalised cross-correlation (global)."""
-    a = a - a.mean()
-    b = b - b.mean()
-    denom = jnp.sqrt((a * a).sum() * (b * b).sum()) + eps
-    return -(a * b).sum() / denom
+def ncc_loss(
+    a: jax.Array, b: jax.Array, eps: float = 1e-8, mask: jax.Array | None = None
+) -> jax.Array:
+    """Negative normalised cross-correlation (global, optionally masked).
+
+    ``mask`` (same shape, {0,1} or weights) restricts the statistic to
+    foreground voxels so empty background does not dominate the metric."""
+    if mask is None:
+        a = a - a.mean()
+        b = b - b.mean()
+        denom = jnp.sqrt((a * a).sum() * (b * b).sum()) + eps
+        return -(a * b).sum() / denom
+    w = mask.astype(jnp.float32)
+    n = jnp.maximum(w.sum(), 1.0)
+    a = a - (a * w).sum() / n
+    b = b - (b * w).sum() / n
+    denom = jnp.sqrt((a * a * w).sum() * (b * b * w).sum()) + eps
+    return -(a * b * w).sum() / denom
 
 
 def mutual_information_loss(
-    a: jax.Array, b: jax.Array, nbins: int = 32, sigma: float = 0.5, eps: float = 1e-10
+    a: jax.Array,
+    b: jax.Array,
+    nbins: int = 32,
+    sigma: float = 0.5,
+    eps: float = 1e-10,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Negative MI via differentiable Parzen soft histograms (Mattes-style,
-    the metric ANTs' rigid 'reg' uses)."""
+    the metric ANTs' rigid 'reg' uses). ``mask`` weights each voxel's
+    contribution to the joint histogram."""
     a = (a - a.min()) / jnp.maximum(a.max() - a.min(), eps)
     b = (b - b.min()) / jnp.maximum(b.max() - b.min(), eps)
     centers = (jnp.arange(nbins, dtype=jnp.float32) + 0.5) / nbins
@@ -50,6 +68,8 @@ def mutual_information_loss(
 
     wa = soft_assign(a)  # (N, bins)
     wb = soft_assign(b)
+    if mask is not None:
+        wa = wa * mask.astype(jnp.float32).reshape(-1, 1)
     joint = wa.T @ wb  # (bins, bins)
     joint = joint / jnp.maximum(joint.sum(), eps)
     pa = joint.sum(axis=1)
@@ -65,14 +85,14 @@ class RegistrationResult:
     loss: float
 
 
-def _register_level(moving, fixed, params0, metric: str, iters: int, lr: float):
+def _register_level(moving, fixed, params0, metric: str, iters: int, lr: float, mask=None):
     center = (jnp.asarray(fixed.shape, jnp.float32) - 1.0) / 2.0
     loss_fn = ncc_loss if metric == "ncc" else mutual_information_loss
 
     def objective(p):
         mat = rigid_matrix(p, center)
         warped = affine_warp(moving, mat, out_shape=fixed.shape)
-        return loss_fn(warped, fixed)
+        return loss_fn(warped, fixed, mask=mask)
 
     tx = optax.adam(lr)
     opt_state = tx.init(params0)
@@ -88,6 +108,18 @@ def _register_level(moving, fixed, params0, metric: str, iters: int, lr: float):
     return params, objective(params)
 
 
+def _rotation_seeds(n: int) -> jnp.ndarray:
+    """(n, 6) multi-start initialisations: identity first, then +-30 and
+    +-60 degree single-axis rotations — the capture-range extender for
+    misalignments beyond gradient descent's basin (~15 degrees)."""
+    seeds = [jnp.zeros((6,), jnp.float32)]
+    for mag in (jnp.pi / 6, jnp.pi / 3):
+        for axis in range(3):
+            for sign in (1.0, -1.0):
+                seeds.append(jnp.zeros((6,), jnp.float32).at[axis].set(sign * mag))
+    return jnp.stack(seeds[: max(1, n)])
+
+
 def register_rigid(
     moving: jax.Array,
     fixed: jax.Array,
@@ -95,6 +127,8 @@ def register_rigid(
     pyramid: Sequence[int] = (4, 2, 1),
     iters_per_level: int = 100,
     lr: float = 0.05,
+    mask: jax.Array | None = None,
+    n_starts: int = 1,
 ) -> RegistrationResult:
     """Coarse-to-fine 6-DoF registration of ``moving`` onto ``fixed``.
 
@@ -103,11 +137,23 @@ def register_rigid(
     Returns the pull-back matrix usable with `ops.resample.affine_warp`
     (and, with `nearest=True`, for label maps — the reference's joint
     brain+mask transform, reg_processed_mask_and_brain.py:30-34).
+
+    ``mask`` (fixed-image foreground) restricts the similarity metric so
+    background does not dominate. ``n_starts`` > 1 runs that many rotation
+    seeds (identity, then +-30/60 degree single-axis) through the coarsest
+    level in one vmapped program and continues with the best — extends the
+    capture range past the single-basin ~15 degrees, matching ANTs' rigid
+    stage behaviour on large misalignments.
     """
     moving = moving.astype(jnp.float32)
     fixed = fixed.astype(jnp.float32)
     params = jnp.zeros((6,), jnp.float32)
     level_fn = jax.jit(functools.partial(_register_level, metric=metric, iters=iters_per_level))
+
+    def level_mask(shape_f):
+        if mask is None:
+            return None
+        return (resize_trilinear(mask.astype(jnp.float32), shape_f) > 0.5).astype(jnp.float32)
 
     prev_factor = None
     loss = jnp.float32(0.0)
@@ -116,10 +162,26 @@ def register_rigid(
         shape_f = tuple(max(4, s // factor) for s in fixed.shape)
         mv = resize_trilinear(moving, shape_m)
         fx = resize_trilinear(fixed, shape_f)
+        mk = level_mask(shape_f)
+        if i == 0 and n_starts > 1:
+            seeds = _rotation_seeds(n_starts)
+            multi = jax.jit(
+                jax.vmap(
+                    functools.partial(
+                        _register_level, metric=metric, iters=iters_per_level, lr=lr, mask=mk
+                    ),
+                    in_axes=(None, None, 0),
+                )
+            )
+            cands, losses = multi(mv, fx, seeds)
+            best = jnp.argmin(losses)
+            params, loss = cands[best], losses[best]
+            prev_factor = factor
+            continue
         if prev_factor is not None:
             scale = prev_factor / factor
             params = params.at[3:].multiply(scale)
-        params, loss = level_fn(mv, fx, params, lr=lr / (i + 1))
+        params, loss = level_fn(mv, fx, params, lr=lr / (i + 1), mask=mk)
         prev_factor = factor
 
     # rescale translations to full resolution

@@ -215,3 +215,65 @@ def test_mi_registration_cross_modality():
         jnp.asarray(base), fixed, metric="mi", pyramid=(1,), iters_per_level=120, lr=0.1
     )
     assert res.params[4] == pytest.approx(2.0, abs=0.6)
+
+
+def test_rigid_registration_large_rotation_multistart():
+    """30-degree misalignment: outside the single-basin capture range, the
+    multi-start coarsest level (identity + axis-rotation seeds) recovers it
+    (ANTs rigid-stage behaviour on large rotations, reg_to_T1.py:11-13)."""
+    from cips_tpu.ops.resample import rigid_matrix as _rm
+
+    rng = np.random.default_rng(8)
+    base = ndi.gaussian_filter(rng.random((24, 24, 24)).astype(np.float32), 2.0)
+    angle = np.pi / 6  # 30 degrees about axis 1
+    center = (np.asarray(base.shape, np.float32) - 1) / 2
+    true_mat = _rm(jnp.asarray([0, angle, 0, 0, 0, 0], jnp.float32), jnp.asarray(center))
+    fixed = affine_warp(jnp.asarray(base), true_mat)
+    res = register_rigid(
+        jnp.asarray(base), fixed, metric="ncc", pyramid=(2, 1),
+        iters_per_level=80, lr=0.08, n_starts=13,
+    )
+    assert res.params[1] == pytest.approx(angle, abs=0.05)
+    assert res.loss < -0.9
+
+
+def test_rigid_registration_masked_metric_ignores_background():
+    """A bright corrupted background band would hijack the global NCC; the
+    foreground mask keeps the metric on the anatomy and the shift is
+    recovered."""
+    rng = np.random.default_rng(9)
+    base = ndi.gaussian_filter(rng.random((24, 24, 24)).astype(np.float32), 2.0)
+    matrix = jnp.eye(3, 4).at[0, 3].set(2.0)
+    fixed = np.array(affine_warp(jnp.asarray(base), matrix))
+    moving = base.copy()
+    # corrupt a background band differently in each image (structured clutter)
+    fixed[:, :3, :] = 3.0
+    moving[:, :3, :] = np.linspace(0, 4, 24, dtype=np.float32)[None, :, None][:, :3]
+    mask = np.ones_like(fixed)
+    mask[:, :4, :] = 0.0
+    res = register_rigid(
+        jnp.asarray(moving), jnp.asarray(fixed), metric="ncc", pyramid=(2, 1),
+        iters_per_level=60, lr=0.1, mask=jnp.asarray(mask),
+    )
+    assert res.params[3] == pytest.approx(2.0, abs=0.4)
+
+
+def test_rigid_registration_cross_modality_mi():
+    """Cross-modality (intensity-inverted) target with a 15-degree rotation
+    and noise: the Parzen-MI metric with multi-start recovers the pose where
+    NCC's sign assumption breaks (PET->T1, reg_to_T1.py:62-99)."""
+    from cips_tpu.ops.resample import rigid_matrix as _rm
+
+    rng = np.random.default_rng(10)
+    base = ndi.gaussian_filter(rng.random((24, 24, 24)).astype(np.float32), 2.0)
+    base = (base - base.min()) / (base.max() - base.min())
+    angle = np.pi / 12  # 15 degrees
+    center = (np.asarray(base.shape, np.float32) - 1) / 2
+    true_mat = _rm(jnp.asarray([angle, 0, 0, 0, 0, 0], jnp.float32), jnp.asarray(center))
+    fixed = np.array(affine_warp(jnp.asarray(1.0 - base), true_mat))  # inverted modality
+    fixed += rng.normal(0, 0.02, fixed.shape).astype(np.float32)
+    res = register_rigid(
+        jnp.asarray(base), jnp.asarray(fixed), metric="mi", pyramid=(2, 1),
+        iters_per_level=80, lr=0.08, n_starts=7,
+    )
+    assert res.params[0] == pytest.approx(angle, abs=0.06)
