@@ -57,6 +57,9 @@ def add_common_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--crop_size", type=int, nargs=3, default=[96, 128, 96],
                    help="working volume shape (train_unet.py:111)")
+    p.add_argument("--random_crop_size", type=int, nargs=3, default=None,
+                   help="training-time joint random crop (RandSpatialCrop, "
+                        "unet/utils/dataset.py:85-87); eval stays center-cropped")
     p.add_argument("--streaming", action="store_true",
                    help="decode NIfTIs on the fly via the native prefetch pool "
                         "instead of packing to memory-mapped arrays")
@@ -85,14 +88,16 @@ def make_loaders(args, need_values, crop_size=None):
         crop_size = tuple(getattr(args, "crop_size", (96, 128, 96)))
 
     if getattr(args, "streaming", False):
-        def make_ds(info_csv):
+        def make_ds(info_csv, train=False):
             return PairedVolumeDataset(
                 info_csv, pet_dir=args.PET_dir, t1_dir=args.T1_dir,
                 crop_size=crop_size, need_values=need_values,
                 min_and_max=load_stats(args.min_and_max),
+                random_crop_size=getattr(args, "random_crop_size", None) if train else None,
+                seed=args.seed,
             )
         train_loader = StreamingLoader(
-            make_ds(args.training_info_csv), args.batch_size, seed=args.seed,
+            make_ds(args.training_info_csv, train=True), args.batch_size, seed=args.seed,
             process_index=jax.process_index(), process_count=jax.process_count(),
         )
         eval_loader = StreamingLoader(
@@ -124,6 +129,7 @@ def make_loaders(args, need_values, crop_size=None):
         seed=args.seed,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        random_crop_size=getattr(args, "random_crop_size", None),
     )
     eval_loader = BatchLoader(
         eval_packed, 1, shuffle=False, drop_last=False,

@@ -113,9 +113,16 @@ class PairedVolumeDataset:
         pet_name: Optional[str] = None,
         invert_abeta: bool = False,
         resize_size: Optional[Sequence[int]] = None,
+        random_crop_size: Optional[Sequence[int]] = None,
+        seed: int = 0,
     ):
         self.crop_size = tuple(crop_size)
         self.resize_size = tuple(resize_size) if resize_size else None
+        # RandSpatialCrop(random_size=False, random_center=True) training
+        # augmentation (unet/utils/dataset.py:85-87): one random offset
+        # applied JOINTLY to t1+pet, max-norm after the crop.
+        self.random_crop_size = tuple(random_crop_size) if random_crop_size else None
+        self._crop_rng = np.random.default_rng(seed)
         self.need_values = list(need_values)
         self.min_and_max = dict(min_and_max or {})
         self.invert_abeta = invert_abeta
@@ -139,14 +146,14 @@ class PairedVolumeDataset:
     def __len__(self) -> int:
         return len(self.rows)
 
-    def _load(self, path: str) -> np.ndarray:
-        """Decode + pad/crop [+ resize] + max-normalise, via the native C++
+    def _load(self, path: str, normalize: bool = True) -> np.ndarray:
+        """Decode + pad/crop [+ resize] [+ max-normalise], via the native C++
         runtime when available (single fused pass), else pure Python.
         ``resize_size`` reproduces pair_PET_T1dataset's optional Resize
         (dataset.py:88-90)."""
         if self.resize_size is None and _native() is not None:
             try:
-                return _native().decode(path, self.crop_size, normalize=True)
+                return _native().decode(path, self.crop_size, normalize=normalize)
             except Exception:
                 pass
         vol = nifti.read_array(path).astype(np.float32)
@@ -157,13 +164,24 @@ class PairedVolumeDataset:
             from cips_tpu.ops.resample import resize_trilinear
 
             vol = np.asarray(resize_trilinear(jnp.asarray(vol), self.resize_size))
-        return max_normalize_np(vol)
+        return max_normalize_np(vol) if normalize else vol
 
     def __getitem__(self, index: int) -> Sample:
         row = self.rows[index]
         t1_path, pet_path = self.paths[index]
-        t1 = self._load(t1_path)
-        pet = self._load(pet_path)
+        rcs = self.random_crop_size
+        t1 = self._load(t1_path, normalize=rcs is None)
+        pet = self._load(pet_path, normalize=rcs is None)
+        if rcs is not None:
+            sl = tuple(
+                slice(o, o + r)
+                for o, r in zip(
+                    (int(self._crop_rng.integers(0, c - r + 1)) for c, r in zip(t1.shape, rcs)),
+                    rcs,
+                )
+            )
+            t1 = max_normalize_np(np.ascontiguousarray(t1[sl]))
+            pet = max_normalize_np(np.ascontiguousarray(pet[sl]))
         if self.need_values:
             info = covariate_vector(
                 row, self.need_values, self.min_and_max, invert_abeta=self.invert_abeta
@@ -578,6 +596,7 @@ class BatchLoader:
         seed: int = 0,
         process_index: int = 0,
         process_count: int = 1,
+        random_crop_size: Optional[Sequence[int]] = None,
     ):
         self.packed = packed
         self.batch_size = batch_size
@@ -586,12 +605,17 @@ class BatchLoader:
         self.seed = seed
         self.process_index = process_index
         self.process_count = process_count
+        # random-crop training augmentation over the packed (already
+        # crop_size) volumes: joint t1/pet offset, re-max-normalised after
+        # the crop (scale invariance makes post-crop renormalisation of the
+        # pre-normalised store identical to normalising the raw crop)
+        self.random_crop_size = tuple(random_crop_size) if random_crop_size else None
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.packed)
         order = np.arange(n)
+        rng = np.random.default_rng(self.seed + epoch)
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(order)
         order = order[self.process_index :: self.process_count]
         num_batches = len(order) // self.batch_size
@@ -602,6 +626,22 @@ class BatchLoader:
             # memmap fancy-indexing wants sorted indices; within-batch order
             # is irrelevant (the same sort is applied to the covariates)
             vols = self.packed.volumes[np.sort(idx)].astype(np.float32)
+            if self.random_crop_size is not None:
+                rcs = self.random_crop_size
+                out = np.empty((vols.shape[0], 2, *rcs), np.float32)
+                for i in range(vols.shape[0]):
+                    sl = tuple(
+                        slice(o, o + r)
+                        for o, r in zip(
+                            (int(rng.integers(0, c - r + 1)) for c, r in zip(vols.shape[2:], rcs)),
+                            rcs,
+                        )
+                    )
+                    crop = vols[(i, slice(None)) + sl]
+                    for m in range(2):
+                        peak = crop[m].max()
+                        out[i, m] = crop[m] / peak if peak > 0 else crop[m]
+                vols = out
             t1 = vols[:, 0][..., None]
             pet = vols[:, 1][..., None]
             info = self.packed.covariates[np.sort(idx)][:, None, :]

@@ -34,7 +34,9 @@ from cips_tpu.ops.s2d import (
     PHASES,
     Factors,
     packed_conv,
+    packed_conv_tiled,
     phase_count,
+    phase_tile,
     repack_pool,
     repack_tile,
 )
@@ -123,25 +125,46 @@ class GroupNorm(nn.Module):
     phases: int = PHASES
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        orig_shape = x.shape
+    @staticmethod
+    def _norm_part(x, p, g, gs, scale, bias, epsilon):
         b = x.shape[0]
-        p = self.phases if self.packed else 1
-        c = x.shape[-1] // p
-        g = self.num_groups
-        gs = c // g
-        scale, bias = _GNScaleBias(c, name="GroupNorm_0")()
-
         xr = x.reshape(b, -1, p, g, gs)
         x32 = xr.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(1, 2, 4))  # (B, G), convert fused into reduce
         meansq = jnp.mean(jnp.square(x32), axis=(1, 2, 4))
-        inv = jax.lax.rsqrt(jnp.maximum(meansq - jnp.square(mean), 0.0) + self.epsilon)
+        inv = jax.lax.rsqrt(jnp.maximum(meansq - jnp.square(mean), 0.0) + epsilon)
         w = inv[:, :, None] * scale.reshape(g, gs)[None]  # (B, G, gs) fp32
         off = bias.reshape(g, gs)[None] - mean[:, :, None] * w
         y = xr * w[:, None, None].astype(x.dtype) + off[:, None, None].astype(x.dtype)
-        return y.reshape(orig_shape)
+        return y.reshape(x.shape)
+
+    @nn.compact
+    def __call__(self, x):
+        # A tuple input is the channel-concat of its parts, kept apart so the
+        # concat is never materialised (the up-path skip fusion). Exact when
+        # no group straddles a part boundary — asserted below.
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        p = self.phases if self.packed else 1
+        cs = [part.shape[-1] // p for part in parts]
+        c = sum(cs)
+        g = self.num_groups
+        gs = c // g
+        scale, bias = _GNScaleBias(c, name="GroupNorm_0")()
+
+        outs, off = [], 0
+        for part, ci in zip(parts, cs):
+            if ci % gs:
+                raise ValueError("concat part boundary must align with GN groups")
+            outs.append(
+                self._norm_part(
+                    part, p, ci // gs, gs,
+                    jax.lax.dynamic_slice_in_dim(scale, off, ci),
+                    jax.lax.dynamic_slice_in_dim(bias, off, ci),
+                    self.epsilon,
+                )
+            )
+            off += ci
+        return outs[0] if not isinstance(x, (tuple, list)) else tuple(outs)
 
 
 class PackedConv(nn.Module):
@@ -157,17 +180,31 @@ class PackedConv(nn.Module):
     kernel: int = 3
     zero_init: bool = False
     factors: Factors = F8
+    tiled_input: bool = False  # input is the UNPACKED pre-tile of a nearest
+    # upsample; the tile folds into the kernel (ops/s2d.packed_conv_tiled)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
+        # A tuple input is the channel-concat of its parts: the kernel is
+        # sliced along Cin and the partial convolutions summed — linearity
+        # makes this exact, and the concat temporary never exists.
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         p = phase_count(self.factors)
-        cin = x.shape[-1] // p
+        cins = [part.shape[-1] // (1 if self.tiled_input else p) for part in parts]
+        cin = sum(cins)
         k = self.kernel
         kernel_init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         w = self.param("kernel", kernel_init, (k, k, k, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = packed_conv(x.astype(self.dtype), w.astype(self.dtype), f=self.factors)
+        conv_fn = packed_conv_tiled if self.tiled_input else packed_conv
+        y = None
+        off = 0
+        for part, ci in zip(parts, cins):
+            wi = jax.lax.dynamic_slice_in_dim(w, off, ci, axis=3)
+            yi = conv_fn(part.astype(self.dtype), wi.astype(self.dtype), f=self.factors)
+            y = yi if y is None else y + yi
+            off += ci
         return y + jnp.tile(b.astype(y.dtype), p)
 
 
@@ -277,10 +314,47 @@ class ResnetBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x, x2: Optional[jax.Array] = None) -> jax.Array:
         f_in, f_out = self.f_in, self.f_out
         if not (self.up or self.down):
             assert f_in == f_out, "packing can only change across up/down blocks"
+        if x2 is not None:
+            # dual input == channel-concat(x, x2) WITHOUT materialising the
+            # concat: GN normalises the parts with split affine params and
+            # the convs slice their kernel along Cin (the up-path skip
+            # fusion — the concat temporaries were the batch>8 HBM blocker).
+            if self.up or self.down or f_in is None:
+                raise NotImplementedError("dual-input resnet requires an interior packed block")
+            p = phase_count(f_in)
+            in_ch = (x.shape[-1] + x2.shape[-1]) // p
+            out_ch = self.out_channels or in_ch
+            hs = GroupNorm(
+                self.norm_num_groups, self.norm_eps, packed=True, phases=p, name="norm1"
+            )((x, x2))
+            hs = tuple(nn.silu(h) for h in hs)
+            h = checkpoint_name(
+                PackedConv(out_ch, 3, factors=f_out, dtype=self.dtype, name="conv1")(hs), CONV_SAVE_NAME
+            )
+            h = GroupNorm(
+                self.norm_num_groups, self.norm_eps, packed=True, phases=p, name="norm2"
+            )(h)
+            h = nn.silu(h)
+            h = checkpoint_name(
+                PackedConv(out_ch, 3, zero_init=True, factors=f_out, dtype=self.dtype, name="conv2")(h),
+                CONV_SAVE_NAME,
+            )
+            if out_ch != in_ch:
+                xs = checkpoint_name(
+                    PackedConv(out_ch, 1, factors=f_out, dtype=self.dtype, name="skip")((x, x2)),
+                    CONV_SAVE_NAME,
+                )
+            else:  # identity skip: the interleaved concat is unavoidable
+                c1, c2 = x.shape[-1] // p, x2.shape[-1] // p
+                xr = x.reshape(*x.shape[:-1], p, c1)
+                x2r = x2.reshape(*x2.shape[:-1], p, c2)
+                xs = jnp.concatenate([xr, x2r], axis=-1).reshape(*x.shape[:-1], p * (c1 + c2))
+            return xs + h
+
         in_ch = x.shape[-1] // phase_count(f_in)
         out_ch = self.out_channels or in_ch
 
@@ -290,7 +364,12 @@ class ResnetBlock(nn.Module):
         )(x)
         h = nn.silu(h)
 
-        if self.up:
+        # upsampling into the (2,2,2)-packed domain: the nearest-tile's P
+        # phase blocks are identical, so conv1/skip fold the tile into their
+        # kernels (packed_conv_tiled) — the P*C-channel tile temporary was
+        # the dominant batch>8 HBM allocation.
+        fuse_tile = self.up and f_in is None and f_out == F8
+        if self.up and not fuse_tile:
             x = repack_tile(x, f_in, f_out)
             h = repack_tile(h, f_in, f_out)
         elif self.down:
@@ -299,7 +378,10 @@ class ResnetBlock(nn.Module):
 
         if f_out is not None:
             h = checkpoint_name(
-                PackedConv(out_ch, 3, factors=f_out, dtype=self.dtype, name="conv1")(h), CONV_SAVE_NAME
+                PackedConv(
+                    out_ch, 3, factors=f_out, tiled_input=fuse_tile, dtype=self.dtype, name="conv1"
+                )(h),
+                CONV_SAVE_NAME,
             )
             h = GroupNorm(
                 self.norm_num_groups, self.norm_eps, packed=True, phases=phase_count(f_out), name="norm2"
@@ -311,8 +393,14 @@ class ResnetBlock(nn.Module):
             )
             if out_ch != in_ch:
                 x = checkpoint_name(
-                    PackedConv(out_ch, 1, factors=f_out, dtype=self.dtype, name="skip")(x), CONV_SAVE_NAME
+                    PackedConv(
+                        out_ch, 1, factors=f_out, tiled_input=fuse_tile, dtype=self.dtype, name="skip"
+                    )(x),
+                    CONV_SAVE_NAME,
                 )
+            elif fuse_tile:
+                # identity skip: the tile materialises only at the residual add
+                x = phase_tile(x, f_out)
         else:
             h = checkpoint_name(
                 conv(out_ch, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv1")(h), CONV_NOSAVE_NAME
@@ -770,21 +858,7 @@ class UpBlock(nn.Module):
         res_list = list(res_list)
         for i in range(self.num_res_blocks):
             res = res_list.pop()
-            # packed: channels are phase-major, so packed-with-packed concat
-            # on the channel axis is NOT the full-res concat; interleave per
-            # phase instead.
-            if self.factors is not None:
-                p = phase_count(self.factors)
-                c_h = h.shape[-1] // p
-                c_r = res.shape[-1] // p
-                hr = h.reshape(*h.shape[:-1], p, c_h)
-                rr = res.reshape(*res.shape[:-1], p, c_r)
-                h = jnp.concatenate([hr, rr], axis=-1).reshape(
-                    *h.shape[:-1], p * (c_h + c_r)
-                )
-            else:
-                h = jnp.concatenate([h, res], axis=-1)
-            h = ResnetBlock(
+            block = ResnetBlock(
                 spatial_dims=self.spatial_dims,
                 out_channels=self.out_channels,
                 norm_num_groups=self.norm_num_groups,
@@ -793,7 +867,27 @@ class UpBlock(nn.Module):
                 f_out=self.factors,
                 dtype=self.dtype,
                 name=f"resnet_{i}",
-            )(h)
+            )
+            p = phase_count(self.factors)
+            in_ch = (h.shape[-1] + res.shape[-1]) // p
+            gs = in_ch // self.norm_num_groups if in_ch % self.norm_num_groups == 0 else 0
+            aligned = gs > 0 and (h.shape[-1] // p) % gs == 0
+            if self.factors is not None and aligned:
+                # dual-input form: the resnet consumes concat(h, res) without
+                # materialising the (phase-interleaved) concat — its 2C-wide
+                # temporaries were the dominant HBM allocations at batch > 8.
+                # Exact only when no GN group straddles the h/res boundary.
+                h = block(h, res)
+            elif self.factors is not None:
+                c_h = h.shape[-1] // p
+                c_r = res.shape[-1] // p
+                hr = h.reshape(*h.shape[:-1], p, c_h)
+                rr = res.reshape(*res.shape[:-1], p, c_r)
+                h = block(
+                    jnp.concatenate([hr, rr], axis=-1).reshape(*h.shape[:-1], p * (c_h + c_r))
+                )
+            else:
+                h = block(jnp.concatenate([h, res], axis=-1))
             if self.attention_mode == "self":
                 h = AttentionBlock(
                     spatial_dims=self.spatial_dims,

@@ -291,3 +291,28 @@ def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1, f: Factors = F8) ->
     """Convolution in the packed domain with an original-parameter kernel."""
     assert stride == 1, "packed domain only hosts stride-1 convs"
     return packed_conv_dense(x, w, f)
+
+
+def packed_conv_tiled(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
+    """packed_conv(phase_tile(x, f), w, f) WITHOUT materialising the tile.
+
+    When the packed input is a nearest-upsample (all P phase blocks equal x),
+    the packed kernel's input-phase blocks can be summed instead:
+      conv(tile(x), W_packed) == conv(x, sum_q W_packed[:, q-block, :]).
+    Exact, P-times fewer MACs, and the (B,Z,Y,X,P*C) tile temporary — the
+    dominant batch>8 HBM allocation in the up path — never exists.
+    x: (B, Z, Y, X, C) on the PACKED cell grid; returns (B, Z, Y, X, P*Cout).
+    """
+    k, _, _, cin, cout = w.shape
+    p = phase_count(f)
+    wp = pack_conv_kernel(w, f)  # (k,k,k,P*cin,P*cout)
+    kk = wp.shape[0]
+    folded = wp.reshape(kk, kk, kk, p, cin, p * cout).sum(axis=3)
+    pad = (kk - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x,
+        folded,
+        (1, 1, 1),
+        [(pad, pad)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )

@@ -1,0 +1,148 @@
+"""Per-workload training-throughput bench: one JSON line per workload.
+
+Measures the full jitted train step of all four reference workloads at the
+(96,128,96) working volume on the attached TPU chip, each with its
+reference config, and prints one JSON object per line:
+  {"metric": ..., "value": ..., "unit": "volumes/sec/chip", "vs_baseline": ...}
+
+vs_baseline anchors (volumes/sec/GPU, analytic — the reference publishes no
+numbers, BASELINE.md): flagship 2.0 (batch 2/GPU fp32 + synchronous decode),
+BMGAN 1.0 (batch 1), causal 0.8 (batch 2 across heavier trio), classifier
+4.0 (batch 4 encoder-only).
+
+Results land in BENCH_WORKLOADS.json too, so round-over-round regressions
+anywhere in the zoo are visible (the driver's bench.py stays the flagship
+single line).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from cips_tpu.cli import common
+
+VOL = (96, 128, 96)
+
+
+def _rand(rng, shape, dtype=jnp.bfloat16):
+    return jnp.asarray(rng.random(shape, np.float32), dtype)
+
+
+def _measure(step, state, args, fetch, n=6):
+    state, m = step(state, *args)
+    fetch(m)
+    state, m = step(state, *args)
+    fetch(m)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step(state, *args)
+    fetch(m)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_flagship(rng):
+    from __graft_entry__ import FLAGSHIP_CFG, N_COVARIATES, TRAIN_CFG
+    from cips_tpu.training.unet_synthesis import build_models, init_state, make_train_step
+
+    batch = 8
+    shape = (batch, *VOL, 1)
+    g, d, p = build_models(FLAGSHIP_CFG, n_covariates=N_COVARIATES, dtype=jnp.bfloat16)
+    state = init_state(
+        jax.random.key(0), g, d, p, TRAIN_CFG, batch_shape=(1,) + shape[1:], n_covariates=N_COVARIATES
+    )
+    batch_data = {
+        "t1": _rand(rng, shape),
+        "pet": _rand(rng, shape),
+        "info": _rand(rng, (batch, 1, N_COVARIATES)),
+    }
+    step = jax.jit(make_train_step(g, d, p, TRAIN_CFG), donate_argnums=0)
+    dt = _measure(step, state, (batch_data,), lambda m: float(m["g_loss"]))
+    return "t1_to_pet_synthesis_train_throughput", batch / dt, 2.0
+
+
+def bench_bmgan(rng):
+    from cips_tpu.training import bmgan_task
+
+    g, e, d, p = bmgan_task.build_models(dtype=jnp.bfloat16)
+    shape = (1, *VOL, 1)
+    state = bmgan_task.init_state(
+        jax.random.key(0), g, e, d, p, shape, perceptual_weight=0.0
+    )
+    batch = {"t1": _rand(rng, shape), "pet": _rand(rng, shape)}
+    step = jax.jit(bmgan_task.make_train_step(g, e, d, p, 20.0, 0.0), donate_argnums=0)
+    dt = _measure(step, state, (batch, jax.random.key(1)), lambda m: float(m["g_loss"]))
+    return "bmgan_train_throughput", 1 / dt, 1.0
+
+
+def bench_causal(rng):
+    from cips_tpu.training import causal_task
+
+    cfg = common.load_config(None, "training_causal.json")
+    enc, t1_dec, pet_dec, disc, perc = causal_task.build_models(cfg, n_covariates=5, dtype=jnp.bfloat16)
+    shape = (1, *VOL, 1)
+    state = causal_task.init_state(
+        jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, cfg["training"], shape, n_covariates=5
+    )
+    batch = {
+        "t1": _rand(rng, shape),
+        "pet": _rand(rng, shape),
+        "info": _rand(rng, (1, 1, 5)),
+    }
+    step = jax.jit(
+        causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, cfg["training"]),
+        donate_argnums=0,
+    )
+    dt = _measure(step, state, (batch, jax.random.key(1)), lambda m: float(m["rec_pet_loss"]))
+    return "causal_synthesis_train_throughput", 1 / dt, 0.8
+
+
+def bench_classifier(rng):
+    from cips_tpu.training import classifier_task
+
+    cfg = common.load_config(None, "training_atten.json")
+    model = classifier_task.build_model(cfg, in_channels=2, n_covariates=5, dtype=jnp.bfloat16)
+    state = classifier_task.init_state(jax.random.key(0), model, (1, *VOL, 2), n_covariates=5)
+    batch = {
+        "imgs": _rand(rng, (4, *VOL, 2)),
+        "info": _rand(rng, (4, 1, 5)),
+        "labels": jnp.asarray([0, 1, 0, 1]),
+    }
+    step = jax.jit(classifier_task.make_train_step(model, use_tabular=True), donate_argnums=0)
+    dt = _measure(step, state, (batch, jax.random.key(1)), lambda m: float(m["ce_loss"]))
+    return "mci_classifier_train_throughput", 4 / dt, 4.0
+
+
+def main():
+    rng = np.random.default_rng(0)
+    rows = []
+    for fn in (bench_flagship, bench_bmgan, bench_causal, bench_classifier):
+        metric, vps, anchor = fn(rng)
+        per_chip = vps / jax.device_count()
+        row = {
+            "metric": metric,
+            "value": round(per_chip, 3),
+            "unit": "volumes/sec/chip",
+            "vs_baseline": round(per_chip / anchor, 3),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_WORKLOADS.json")
+    with open(out, "w", encoding="utf-8") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
