@@ -148,3 +148,31 @@ def test_classifier_cli_train_and_test(tree, tmp_path):
     # reuse the trained ckpt dir (argparse takes the last --exp_dir)
     m = test_mci.main(args + ["--exp_dir", sub])
     assert set(m) == {"accuracy", "precision", "recall", "f1", "auc"}
+
+
+def test_train_unet_random_crop_cli(tree, tmp_path):
+    """--random_crop_size trains on jointly random-cropped sub-volumes
+    (RandSpatialCrop semantics) while eval keeps the center crop."""
+    from cips_tpu.cli import train_unet
+
+    cfg = {
+        "atten_unet_def": {
+            "spatial_dims": 3, "in_channels": 1, "out_channels": 1,
+            "num_channels": [8, 8], "num_res_blocks": 1,
+            "attention_levels": [False, True], "norm_num_groups": 8,
+            "resblock_updown": True, "num_head_channels": [0, 4],
+        },
+        "discriminator": {"num_channels": 8, "num_layers_d": 1},
+        "perceptual_network": {"spatial_dims": 3},
+        "training": {"base_lr": 1e-3, "disc_lr": 1e-4, "perceptual_weight": 0, "adv_weight": 0.1},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    exp = str(tmp_path / "exp")
+    args = _common(tree, tmp_path) + [
+        "--exp_dir", exp, "--config", str(cfg_path),
+        "--random_crop_size", "4", "8", "4",
+        "--epochs", "1", "--max_steps", "2", "--save_every", "1", "--use_condition",
+    ]
+    train_unet.main(args)
+    assert os.path.exists(os.path.join(exp, "conditional", "AV45", "ckpt", "meta.json"))
