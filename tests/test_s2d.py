@@ -266,3 +266,20 @@ def test_atten_unet_two_level_s2d_equivalence():
     np.testing.assert_allclose(
         np.asarray(y_packed), np.asarray(y_plain), atol=2e-5, rtol=2e-5
     )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="Pallas phase conv targets real TPU Mosaic (interpret mode unsupported ops)",
+)
+def test_pallas_phase_conv_exact_tpu():
+    from cips_tpu.ops.pallas.phase_conv import phase_conv
+
+    rng = np.random.default_rng(0)
+    c = 16
+    x_full = jnp.asarray(rng.standard_normal((1, 16, 32, 16, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, c, c)) * 0.2, jnp.float32)
+    xp = space_to_depth(x_full)
+    want = np.asarray(jax.jit(packed_conv)(xp, w))
+    got = np.asarray(phase_conv(xp, w, tz=4))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
