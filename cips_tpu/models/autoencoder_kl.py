@@ -122,7 +122,7 @@ class Decoder(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         rev_channels = list(reversed(self.num_channels))
         rev_res = list(reversed(res_blocks))
-        res_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        res_cls = nn.remat(ResnetBlock, policy=_conv_save_policy()) if self.remat else ResnetBlock
 
         h = conv(rev_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(z)
         if self.with_decoder_nonlocal_attn:
@@ -241,3 +241,12 @@ class AutoencoderKL(nn.Module):
         else:
             z = mu
         return self.decode(z), mu, sigma
+
+
+def _conv_save_policy():
+    """save-conv-outputs + GN-stats checkpoint policy (see models/blocks.py)."""
+    import jax
+
+    from cips_tpu.models.blocks import CONV_SAVE_NAME, GN_STAT_NAME
+
+    return jax.checkpoint_policies.save_only_these_names(CONV_SAVE_NAME, GN_STAT_NAME)

@@ -76,9 +76,17 @@ class DiffusionModelDecoder(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
-        res_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
-        attn_cls = nn.remat(SpatialTransformer, static_argnums=(3,)) if self.remat else SpatialTransformer
-        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if self.remat else MidBlock
+        res_cls = nn.remat(ResnetBlock, policy=_conv_save_policy()) if self.remat else ResnetBlock
+        attn_cls = (
+            nn.remat(SpatialTransformer, static_argnums=(3,), policy=_conv_save_policy())
+            if self.remat
+            else SpatialTransformer
+        )
+        mid_cls = (
+            nn.remat(MidBlock, static_argnums=(3,), policy=_conv_save_policy())
+            if self.remat
+            else MidBlock
+        )
 
         h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(z)
 
@@ -163,3 +171,12 @@ class DiffusionModelDecoder(nn.Module):
         return conv(
             self.out_channels, 3, 1, self.spatial_dims, zero_init=True, dtype=self.dtype, name="conv_out"
         )(h)
+
+
+def _conv_save_policy():
+    """save-conv-outputs + GN-stats checkpoint policy (see models/blocks.py)."""
+    import jax
+
+    from cips_tpu.models.blocks import CONV_SAVE_NAME, GN_STAT_NAME
+
+    return jax.checkpoint_policies.save_only_these_names(CONV_SAVE_NAME, GN_STAT_NAME)

@@ -80,7 +80,11 @@ class DiffusionModelEncoder(nn.Module):
         else:
             h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
 
-        down_cls = nn.remat(DownBlock, static_argnums=(3,)) if self.remat else DownBlock
+        down_cls = (
+            nn.remat(DownBlock, static_argnums=(3,), policy=_conv_save_policy())
+            if self.remat
+            else DownBlock
+        )
         for i in range(n):
             # mlp head: downsample at every level (reference behaviour,
             # atten_unet_model.py:1966). spatial head: keep the final level's
@@ -117,3 +121,12 @@ class DiffusionModelEncoder(nn.Module):
         h = nn.relu(h)
         h = nn.Dropout(self.head_dropout)(h, deterministic=deterministic)
         return nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
+
+
+def _conv_save_policy():
+    """save-conv-outputs + GN-stats checkpoint policy (see models/blocks.py)."""
+    import jax
+
+    from cips_tpu.models.blocks import CONV_SAVE_NAME, GN_STAT_NAME
+
+    return jax.checkpoint_policies.save_only_these_names(CONV_SAVE_NAME, GN_STAT_NAME)
