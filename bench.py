@@ -36,7 +36,8 @@ def main():
     from __graft_entry__ import FLAGSHIP_CFG, N_COVARIATES, TRAIN_CFG
     from cips_tpu.training.unet_synthesis import build_models, init_state, make_train_step
 
-    batch = int(jax.device_count()) * 8  # per-chip batch 8 (fits with s2d level-0 + remat)
+    batch = int(jax.device_count()) * 8  # per-chip batch 8 (batch 10+ exceeds HBM even
+    # with the conv-save policy and concat-free up path; see BENCH_NOTES.md)
     shape = (batch, 96, 128, 96, 1)
 
     g, d, p = build_models(FLAGSHIP_CFG, n_covariates=N_COVARIATES, dtype=jnp.bfloat16)
