@@ -142,9 +142,15 @@ class AttenUNet(nn.Module):
         skip = self.remat_skip_coarsest
         policy = None
         if self.remat_policy == "conv":
-            from cips_tpu.models.blocks import CONV_SAVE_NAME
+            from cips_tpu.models.blocks import CONV_SAVE_NAME, GN_STAT_NAME
 
-            policy = jax.checkpoint_policies.save_only_these_names(CONV_SAVE_NAME)
+            policy = jax.checkpoint_policies.save_only_these_names(CONV_SAVE_NAME, GN_STAT_NAME)
+        elif self.remat_policy == "conv_all":
+            from cips_tpu.models.blocks import CONV_NOSAVE_NAME, CONV_SAVE_NAME, GN_STAT_NAME
+
+            policy = jax.checkpoint_policies.save_only_these_names(
+                CONV_SAVE_NAME, CONV_NOSAVE_NAME, GN_STAT_NAME
+            )
         elif self.remat_policy is not None:
             raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
 

@@ -54,6 +54,9 @@ Dtype = jnp.dtype
 # those costs 4x their logical size, so they stay whole-block remat.
 CONV_SAVE_NAME = "resconv"
 CONV_NOSAVE_NAME = "resconv_padded"
+# GroupNorm statistics: (B, G)-shaped — saving them is ~free and spares the
+# backward recompute its full-tensor reduction passes.
+GN_STAT_NAME = "gnstat"
 
 
 # ---------------------------------------------------------------------------
@@ -127,15 +130,29 @@ class GroupNorm(nn.Module):
 
     @staticmethod
     def _norm_part(x, p, g, gs, scale, bias, epsilon):
+        # Lane-friendly statistics: reduce over the flattened spatial axis
+        # ONLY (per-channel partials keep the 128-lane minor dimension
+        # intact), then combine the tiny (B, P*C) partials into (B, G) group
+        # moments. Mathematically identical to reducing per group directly;
+        # the naive (B,S,P,G,gs) reduction ran at ~15% of HBM bandwidth.
         b = x.shape[0]
-        xr = x.reshape(b, -1, p, g, gs)
+        pc = x.shape[-1]
+        c = pc // p
+        xr = x.reshape(b, -1, pc)
         x32 = xr.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(1, 2, 4))  # (B, G), convert fused into reduce
-        meansq = jnp.mean(jnp.square(x32), axis=(1, 2, 4))
-        inv = jax.lax.rsqrt(jnp.maximum(meansq - jnp.square(mean), 0.0) + epsilon)
-        w = inv[:, :, None] * scale.reshape(g, gs)[None]  # (B, G, gs) fp32
-        off = bias.reshape(g, gs)[None] - mean[:, :, None] * w
-        y = xr * w[:, None, None].astype(x.dtype) + off[:, None, None].astype(x.dtype)
+        s1 = checkpoint_name(jnp.mean(x32, axis=1), GN_STAT_NAME)  # (B, P*C)
+        s2 = checkpoint_name(jnp.mean(jnp.square(x32), axis=1), GN_STAT_NAME)
+        mean_g = s1.reshape(b, p, g, gs).mean(axis=(1, 3))  # (B, G)
+        meansq_g = s2.reshape(b, p, g, gs).mean(axis=(1, 3))
+        inv = jax.lax.rsqrt(jnp.maximum(meansq_g - jnp.square(mean_g), 0.0) + epsilon)
+        w_c = (inv[:, :, None] * scale.reshape(g, gs)[None]).reshape(b, c)  # (B, C) fp32
+        off_c = (
+            bias.reshape(g, gs)[None]
+            - mean_g[:, :, None] * inv[:, :, None] * scale.reshape(g, gs)[None]
+        ).reshape(b, c)
+        w_pc = jnp.tile(w_c, (1, p))[:, None, :]
+        off_pc = jnp.tile(off_c, (1, p))[:, None, :]
+        y = xr * w_pc.astype(x.dtype) + off_pc.astype(x.dtype)
         return y.reshape(x.shape)
 
     @nn.compact

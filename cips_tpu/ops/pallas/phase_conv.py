@@ -47,21 +47,21 @@ from jax.experimental.pallas import tpu as pltpu
 from cips_tpu.ops.s2d import PHASES, pack_conv_kernel_phase
 
 
-def _kernel(x0_hbm, x1_hbm, x2_hbm, w_ref, out_ref, xh0, xh1, xh2, acc, sem):
+def _kernel(x0_hbm, x1_hbm, x2_hbm, w_ref, out_ref, xh0, xh1, xh2, xp0, xp1, acc, sem):
     b = pl.program_id(0)
     iz = pl.program_id(1)
-    iy = pl.program_id(2)
-    _, tz, ty, xdim, pc = out_ref.shape
+    _, tz, ydim, xdim, pc = out_ref.shape
     c = pc // PHASES
 
-    # 1. haloed tile from the three x-shift variants (x shifts become buffer
-    #    choices — neither VMEM slicing nor DMA offsets may break the
-    #    sublane tiling, so the shifts are materialised HBM-side)
+    # 1. haloed z-slab from the three x-shift variants (x shifts become
+    #    buffer choices — neither VMEM slicing nor DMA offsets may break the
+    #    sublane tiling, so the shifts are materialised HBM-side). Full-Y
+    #    slabs keep each DMA to tz+2 large contiguous rows.
     bufs = (xh0, xh1, xh2)
     dmas = []
     for src, buf in zip((x0_hbm, x1_hbm, x2_hbm), bufs):
         dma = pltpu.make_async_copy(
-            src.at[pl.ds(b, 1), pl.ds(iz * tz, tz + 2), pl.ds(iy * ty, ty + 2)],
+            src.at[pl.ds(b, 1), pl.ds(iz * tz, tz + 2)],
             buf,
             sem.at[len(dmas)],
         )
@@ -78,20 +78,21 @@ def _kernel(x0_hbm, x1_hbm, x2_hbm, w_ref, out_ref, xh0, xh1, xh2, acc, sem):
     my = (phase // 2) % 2 == 0
     mx = phase % 2 == 0
 
-    # x-window variants of x' (z/y shifts applied, z/y windows still open)
-    xps = []
-    for kx in range(2):
-        t = jnp.where(mx, bufs[kx + 1][0], bufs[kx][0])  # (tz+2, ty+2, X, pc)
-        t = jnp.where(mz, t[1 : tz + 2], t[0 : tz + 1])  # (tz+1, ty+2, X, pc)
-        t = jnp.where(my, t[:, 1 : ty + 2], t[:, 0 : ty + 1])  # (tz+1, ty+1, X, pc)
-        xps.append(t)
+    # x-window variants of x', staged through VMEM so the matmul windows
+    # are memref slices (z/y are untiled dims) rather than register shuffles
+    for kx, xp in enumerate((xp0, xp1)):
+        t = jnp.where(mx, bufs[kx + 1][0], bufs[kx][0])  # (tz+2, Y+2, X, pc)
+        t = jnp.where(mz, t[1 : tz + 2], t[0 : tz + 1])  # (tz+1, Y+2, X, pc)
+        t = jnp.where(my, t[:, 1 : ydim + 2], t[:, 0 : ydim + 1])  # (tz+1, Y+1, X, pc)
+        xp[:] = t
 
     # 3. eight accumulating MXU contractions over the k-2 window
     acc[:] = jnp.zeros_like(acc)
     for kz in range(2):
         for ky in range(2):
             for kx in range(2):
-                window = xps[kx][kz : kz + tz, ky : ky + ty]
+                xp = xp1 if kx else xp0
+                window = xp[kz : kz + tz, ky : ky + ydim]
                 acc[:] += jax.lax.dot_general(
                     window,
                     w_ref[kz, ky, kx],
@@ -103,14 +104,15 @@ def _kernel(x0_hbm, x1_hbm, x2_hbm, w_ref, out_ref, xh0, xh1, xh2, acc, sem):
     out_ref[0] = acc[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tz", "ty"))
-def phase_conv_apply(x: jax.Array, wp: jax.Array, tz: int = 8, ty: int = 16) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("tz",))
+def phase_conv_apply(x: jax.Array, wp: jax.Array, tz: int = 4) -> jax.Array:
     """Apply the phase-structured conv given the (2,2,2,8C,8C) phase kernel.
 
     x: (B, Z, Y, X, 8C) packed input. Returns (B, Z, Y, X, 8C).
+    Tiles are full-(Y, X) z-slabs so each halo DMA is tz+2 contiguous rows.
     """
     b, z, y, xdim, pc = x.shape
-    assert z % tz == 0 and y % ty == 0, (z, y, tz, ty)
+    assert z % tz == 0, (z, tz)
     assert pc % 128 == 0, "phase_conv needs a lane-multiple packed channel count"
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     assert xdim % sub == 0, f"x dim must be a multiple of the sublane tile ({sub})"
@@ -120,31 +122,33 @@ def phase_conv_apply(x: jax.Array, wp: jax.Array, tz: int = 8, ty: int = 16) -> 
     x1 = xpad[:, :, :, 1 : 1 + xdim, :]
     x2 = xpad[:, :, :, 2 : 2 + xdim, :]
 
-    grid = (b, z // tz, y // ty)
+    grid = (b, z // tz)
     return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((b, z, y, xdim, pc), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # manually DMA'd halo tiles
+            pl.BlockSpec(memory_space=pltpu.ANY),  # manually DMA'd halo slabs
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (2, 2, 2, pc, pc), lambda b_, i, j: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM
+                (2, 2, 2, pc, pc), lambda b_, i: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, tz, ty, xdim, pc), lambda b_, i, j: (b_, i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, tz, y, xdim, pc), lambda b_, i: (b_, i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, tz + 2, ty + 2, xdim, pc), x.dtype),
-            pltpu.VMEM((1, tz + 2, ty + 2, xdim, pc), x.dtype),
-            pltpu.VMEM((1, tz + 2, ty + 2, xdim, pc), x.dtype),
-            pltpu.VMEM((tz, ty, xdim, pc), jnp.float32),
+            pltpu.VMEM((1, tz + 2, y + 2, xdim, pc), x.dtype),
+            pltpu.VMEM((1, tz + 2, y + 2, xdim, pc), x.dtype),
+            pltpu.VMEM((1, tz + 2, y + 2, xdim, pc), x.dtype),
+            pltpu.VMEM((tz + 1, y + 1, xdim, pc), x.dtype),
+            pltpu.VMEM((tz + 1, y + 1, xdim, pc), x.dtype),
+            pltpu.VMEM((tz, y, xdim, pc), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 8 * b * z * y * xdim * pc * pc,
@@ -154,8 +158,8 @@ def phase_conv_apply(x: jax.Array, wp: jax.Array, tz: int = 8, ty: int = 16) -> 
     )(x0, x1, x2, wp)
 
 
-def phase_conv(x: jax.Array, w: jax.Array, tz: int = 8, ty: int = 16) -> jax.Array:
+def phase_conv(x: jax.Array, w: jax.Array, tz: int = 4) -> jax.Array:
     """Exact packed conv (== ops.s2d.packed_conv with f=(2,2,2)) as a fused
     Pallas kernel. w: original (3,3,3,Cin,Cout); x: (B,Z,Y,X,8*Cin)."""
     wp = pack_conv_kernel_phase(w.astype(x.dtype))
-    return phase_conv_apply(x, wp, tz=tz, ty=ty)
+    return phase_conv_apply(x, wp, tz=tz)

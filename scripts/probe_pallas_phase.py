@@ -38,7 +38,7 @@ def main():
     w = jnp.asarray(rng.standard_normal((3, 3, 3, C, C)) * 0.2, jnp.float32)
     xp = space_to_depth(x_full)
     want = jax.jit(packed_conv)(xp, w)
-    got = phase_conv(xp, w, tz=4, ty=16)
+    got = phase_conv(xp, w, tz=4)
     err = float(jnp.max(jnp.abs(want - got)))
     print(f"correctness fp32: max err {err:.2e}", flush=True)
     assert err < 1e-4, err
@@ -48,16 +48,16 @@ def main():
     x = jnp.asarray(rng.standard_normal((B, Z, Y, X, 8 * C)), jnp.bfloat16)
     w = jnp.asarray(rng.standard_normal((3, 3, 3, C, C)) * 0.1, jnp.float32)
     want = jax.jit(packed_conv)(x, w)
-    for tz, ty in [(4, 16), (8, 16), (4, 32), (6, 16), (12, 16), (8, 32)]:
-        if Z % tz or Y % ty:
+    for tz in (2, 4, 6, 8):
+        if Z % tz:
             continue
         try:
-            got = phase_conv(x, w, tz=tz, ty=ty)
+            got = phase_conv(x, w, tz=tz)
             err = float(jnp.max(jnp.abs(want.astype(jnp.float32) - got.astype(jnp.float32))))
-            t = timeit(lambda a, b: phase_conv(a, b, tz=tz, ty=ty), x, w)
-            print(f"tz={tz:2d} ty={ty:2d}: {t*1e3:6.2f} ms   err {err:.3e}", flush=True)
+            t = timeit(lambda a, b: phase_conv(a, b, tz=tz), x, w)
+            print(f"tz={tz:2d}: {t*1e3:6.2f} ms   err {err:.3e}", flush=True)
         except Exception as e:
-            print(f"tz={tz:2d} ty={ty:2d}: FAILED {str(e)[:120]}", flush=True)
+            print(f"tz={tz:2d}: FAILED {str(e)[:140]}", flush=True)
 
     t_dense = timeit(jax.jit(packed_conv), x, w)
     print(f"XLA dense k3:  {t_dense*1e3:6.2f} ms", flush=True)
@@ -66,9 +66,9 @@ def main():
     w2 = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 32)) * 0.1, jnp.float32)
     x2 = jnp.asarray(rng.standard_normal((B, Z, Y, X, 256)), jnp.bfloat16)
     want2 = jax.jit(packed_conv)(x2, w2)
-    got2 = phase_conv(x2, w2, tz=4, ty=16)
+    got2 = phase_conv(x2, w2, tz=4)
     err2 = float(jnp.max(jnp.abs(want2.astype(jnp.float32) - got2.astype(jnp.float32))))
-    t2 = timeit(lambda a, b: phase_conv(a, b, tz=4, ty=16), x2, w2)
+    t2 = timeit(lambda a, b: phase_conv(a, b, tz=4), x2, w2)
     t2d = timeit(jax.jit(packed_conv), x2, w2)
     print(f"32ch 256->256: pallas {t2*1e3:6.2f} ms vs dense {t2d*1e3:6.2f} ms  err {err2:.3e}", flush=True)
 

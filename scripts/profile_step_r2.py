@@ -61,7 +61,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--policy", default="conv", choices=["conv", "none"])
+    ap.add_argument("--policy", default="conv", choices=["conv", "conv_all", "none"])
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
     run(None if args.policy == "none" else args.policy, args.batch)
