@@ -22,19 +22,28 @@ import jax.numpy as jnp
 
 
 class _InstanceNorm(nn.Module):
+    """Instance norm with fp32 statistics and activation-dtype apply.
+
+    Moments accumulate in fp32 with the converts fused into the reductions
+    (per-(batch, channel) over spatial — the channel lanes stay intact), and
+    the normalisation is one fused x*w + b pass in the activation dtype; no
+    fp32 copy of the tensor is materialised (the same treatment that cut
+    ~20% off the flagship step in blocks.GroupNorm)."""
+
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        orig = x.dtype
-        x32 = x.astype(jnp.float32)
         axes = tuple(range(1, x.ndim - 1))
-        mean = x32.mean(axes, keepdims=True)
-        var = x32.var(axes, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axes, keepdims=True)  # convert fused into reduce
+        meansq = jnp.mean(jnp.square(x32), axes, keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(meansq - jnp.square(mean), 0.0) + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
-        return (y * scale + bias).astype(orig)
+        w = inv * scale
+        off = bias - mean * w
+        return x * w.astype(x.dtype) + off.astype(x.dtype)
 
 
 class PatchDiscriminator(nn.Module):
