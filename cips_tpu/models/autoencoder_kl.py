@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from cips_tpu.models.blocks import AttentionBlock, GroupNorm, PackedConv, PackedUpsample, ResnetBlock, Upsample, conv
-from cips_tpu.ops.s2d import depth_to_space
+from cips_tpu.ops.s2d import auto_factor, depth_to_space, phase_count
 
 
 def _tuplify(v, n: int) -> Tuple:
@@ -148,6 +148,9 @@ class Decoder(nn.Module):
                 dtype=self.dtype,
                 name="mid_res_2",
             )(h)
+        f0 = auto_factor(rev_channels[-1]) if self.s2d else None
+        if self.s2d and f0 is None:
+            raise ValueError("s2d finest level needs a 128-lane-compatible channel count")
         for i in range(n):
             finest_packed = self.s2d and i == n - 1
             for j in range(rev_res[i]):
@@ -156,15 +159,15 @@ class Decoder(nn.Module):
                     out_channels=rev_channels[i],
                     norm_num_groups=self.norm_num_groups,
                     norm_eps=self.norm_eps,
-                    f_in=(2, 2, 2) if finest_packed else None,
-                    f_out=(2, 2, 2) if finest_packed else None,
+                    f_in=f0 if finest_packed else None,
+                    f_out=f0 if finest_packed else None,
                     dtype=self.dtype,
                     name=f"up_{i}_res_{j}",
                 )(h)
             if i != n - 1:
                 if self.s2d and i == n - 2:
                     h = PackedUpsample(
-                        out_channels=rev_channels[i], dtype=self.dtype, name=f"up_{i}_us"
+                        out_channels=rev_channels[i], f_out=f0, dtype=self.dtype, name=f"up_{i}_us"
                     )(h)
                 else:
                     h = Upsample(
@@ -175,10 +178,13 @@ class Decoder(nn.Module):
                         name=f"up_{i}_us",
                     )(h)
         if self.s2d:
-            h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=True, name="out_norm")(h)
+            h = GroupNorm(
+                self.norm_num_groups, self.norm_eps, packed=True,
+                phases=phase_count(f0), name="out_norm",
+            )(h)
             h = nn.silu(h)
-            h = PackedConv(self.out_channels, 3, dtype=self.dtype, name="conv_out")(h)
-            return depth_to_space(h)
+            h = PackedConv(self.out_channels, 3, factors=f0, dtype=self.dtype, name="conv_out")(h)
+            return depth_to_space(h, f0)
         h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
         h = nn.silu(h)
         return conv(self.out_channels, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_out")(h)

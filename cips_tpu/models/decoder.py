@@ -33,7 +33,7 @@ from cips_tpu.models.blocks import (
     conv,
     heads_for,
 )
-from cips_tpu.ops.s2d import depth_to_space
+from cips_tpu.ops.s2d import auto_factor, depth_to_space, phase_count
 
 
 def _tuplify(v, n: int) -> Tuple:
@@ -73,6 +73,9 @@ class DiffusionModelDecoder(nn.Module):
         n = len(self.num_channels)
         if self.s2d and (self.attention_levels[-1] or self.spatial_dims != 3 or n < 2):
             raise ValueError("s2d needs a 3-D, attention-free finest level")
+        f0 = auto_factor(self.num_channels[-1]) if self.s2d else None
+        if self.s2d and f0 is None:
+            raise ValueError("s2d finest level needs a 128-lane-compatible channel count")
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
@@ -112,8 +115,8 @@ class DiffusionModelDecoder(nn.Module):
                     out_channels=self.num_channels[i],
                     norm_num_groups=self.norm_num_groups,
                     norm_eps=self.norm_eps,
-                    f_in=(2, 2, 2) if finest_packed else None,
-                    f_out=(2, 2, 2) if finest_packed else None,
+                    f_in=f0 if finest_packed else None,
+                    f_out=f0 if finest_packed else None,
                     dtype=self.dtype,
                     name=f"up_{i}_resnet_{j}",
                 )(h)
@@ -141,13 +144,13 @@ class DiffusionModelDecoder(nn.Module):
                         up=True,
                         norm_num_groups=self.norm_num_groups,
                         norm_eps=self.norm_eps,
-                        f_out=(2, 2, 2) if to_packed else None,
+                        f_out=f0 if to_packed else None,
                         dtype=self.dtype,
                         name=f"up_{i}_upsampler",
                     )(h)
                 elif to_packed:
                     h = PackedUpsample(
-                        out_channels=self.num_channels[i], dtype=self.dtype,
+                        out_channels=self.num_channels[i], f_out=f0, dtype=self.dtype,
                         name=f"up_{i}_upsampler",
                     )(h)
                 else:
@@ -160,12 +163,15 @@ class DiffusionModelDecoder(nn.Module):
                     )(h)
 
         if self.s2d:
-            h = GroupNorm(self.norm_num_groups, self.norm_eps, packed=True, name="out_norm")(h)
+            h = GroupNorm(
+                self.norm_num_groups, self.norm_eps, packed=True,
+                phases=phase_count(f0), name="out_norm",
+            )(h)
             h = nn.silu(h)
             h = PackedConv(
-                self.out_channels, 3, zero_init=True, dtype=self.dtype, name="conv_out"
+                self.out_channels, 3, zero_init=True, factors=f0, dtype=self.dtype, name="conv_out"
             )(h)
-            return depth_to_space(h)
+            return depth_to_space(h, f0)
         h = GroupNorm(self.norm_num_groups, self.norm_eps, name="out_norm")(h)
         h = nn.silu(h)
         return conv(

@@ -47,6 +47,16 @@ def phase_count(f: Optional[Factors]) -> int:
     return 1 if f is None else f[0] * f[1] * f[2]
 
 
+def auto_factor(channels: int) -> Optional[Factors]:
+    """The largest packing whose phase count keeps ``channels`` within the
+    128-lane register width: C<=16 -> (2,2,2), 32 -> (2,2,1), 64 -> (2,1,1),
+    >64 -> None (packing cannot help)."""
+    for p, f in ((8, (2, 2, 2)), (4, (2, 2, 1)), (2, (2, 1, 1))):
+        if channels * p <= 128:
+            return f
+    return None
+
+
 def space_to_depth(x: jax.Array, f: Factors = F8) -> jax.Array:
     """(B, fz*Z, fy*Y, fx*X, C) -> (B, Z, Y, X, P*C), phase-major channels."""
     b, d, h, w, c = x.shape

@@ -283,3 +283,32 @@ def test_pallas_phase_conv_exact_tpu():
     want = np.asarray(jax.jit(packed_conv)(xp, w))
     got = np.asarray(phase_conv(xp, w, tz=4))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_diffusion_decoder_s2d_32ch_equivalence():
+    """32-channel finest level packs with the (2,2,1) auto factor exactly
+    (the causal decoders' configuration)."""
+    from cips_tpu.models.decoder import DiffusionModelDecoder
+
+    kwargs = dict(
+        in_channels=3,
+        out_channels=1,
+        num_channels=(64, 64, 32),
+        num_res_blocks=1,
+        attention_levels=(True, False, False),
+        norm_num_groups=16,
+        num_head_channels=(16, 0, 0),
+        with_conditioning=True,
+        cross_attention_dim=4,
+    )
+    plain = DiffusionModelDecoder(**kwargs)
+    packed = DiffusionModelDecoder(s2d=True, **kwargs)
+    rng = np.random.default_rng(21)
+    z = jnp.asarray(rng.standard_normal((1, 2, 4, 2, 3)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 4)), jnp.float32)
+    params = plain.init(jax.random.key(0), z, ctx)
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(params, z, ctx)),
+        np.asarray(plain.apply(params, z, ctx)),
+        atol=2e-5, rtol=2e-5,
+    )
