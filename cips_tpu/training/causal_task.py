@@ -54,14 +54,16 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
     enc_def.setdefault("remat", remat)
     encoder = DiffusionModelEncoder(head="spatial", dtype=dtype, **enc_def)
 
+    from cips_tpu.ops.s2d import auto_factor
+
     t1_dec_def = dict(model_cfg["t1_autoencoder_def"]["decoder"])
     t1_dec_def.setdefault("remat", remat)
-    # s2d is a pure win only for <=16-channel finest levels (8x lane gain
-    # cancels the 8x dense-packed MACs); at 32 channels it trades throughput
-    # for memory — measured 1.24 vol/s (batch 1, off) vs 0.93 (batch 2, on).
+    # the finest level packs with its auto factor (32ch -> (2,2,1)): the
+    # round-1 8x-dense loss at 32 channels is gone with anisotropic factors
+    # — measured 1.26 vol/s (batch 1) == unpacked, and batch 2 fits HBM
     t1_dec_def.setdefault("s2d", t1_dec_def.get("spatial_dims", 3) == 3
                            and len(t1_dec_def.get("num_channels", [])) >= 2
-                           and min(t1_dec_def.get("num_channels", [999])) <= 16)
+                           and auto_factor(min(t1_dec_def.get("num_channels", [999]))) is not None)
     t1_decoder = Decoder(dtype=dtype, **t1_dec_def)
 
     pet_def = dict(model_cfg["pet_decoder_def"])
@@ -70,7 +72,7 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
     pet_def.setdefault("s2d", pet_def.get("spatial_dims", 3) == 3
                        and len(pet_def.get("num_channels", [])) >= 2
                        and not list(pet_def.get("attention_levels", [True]))[-1]
-                       and min(pet_def.get("num_channels", [999])) <= 16)
+                       and auto_factor(list(pet_def.get("num_channels", [999]))[-1]) is not None)
     pet_decoder = DiffusionModelDecoder(dtype=dtype, **pet_def)
 
     discriminator = PatchDiscriminator(dtype=dtype, **model_cfg.get("discriminator", {}))
