@@ -176,3 +176,56 @@ def test_train_unet_random_crop_cli(tree, tmp_path):
     ]
     train_unet.main(args)
     assert os.path.exists(os.path.join(exp, "conditional", "AV45", "ckpt", "meta.json"))
+
+
+def test_train_unet_perceptual_weights_cli(tree, tmp_path):
+    """--perceptual_weights loads a converted LPIPS .npz and the trainer
+    optimises a nonzero perceptual term (reference weight semantics,
+    unet/config/training.json:54)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from convert_lpips_weights import convert_backbone, convert_lins
+
+    from test_perceptual_parity import _torch_squeeze_features
+
+    torch.manual_seed(0)
+    flat = convert_backbone(
+        {k: v.detach().numpy() for k, v in _torch_squeeze_features().state_dict().items()},
+        "squeeze",
+    )
+    flat.update(convert_lins({}, "squeeze"))
+    npz = tmp_path / "squeeze.npz"
+    np.savez(npz, **flat)
+
+    from cips_tpu.cli import train_unet
+
+    cfg = {
+        "atten_unet_def": {
+            "spatial_dims": 3, "in_channels": 1, "out_channels": 1,
+            "num_channels": [8, 8], "num_res_blocks": 1,
+            "attention_levels": [False, True], "norm_num_groups": 8,
+            "resblock_updown": True, "num_head_channels": [0, 4],
+        },
+        "discriminator": {"num_channels": 8, "num_layers_d": 1},
+        "perceptual_network": {"spatial_dims": 3, "network_type": "squeeze"},
+        "training": {"base_lr": 1e-3, "disc_lr": 1e-4, "perceptual_weight": 0.5, "adv_weight": 0.1},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    exp = str(tmp_path / "exp")
+    args = [
+        "--training_info_csv", str(tree / "train.csv"),
+        "--eval_info_csv", str(tree / "test.csv"),
+        "--PET_dir", str(tree / "pet"), "--T1_dir", str(tree / "t1"),
+        "--min_and_max", str(tree / "stats.json"),
+        "--batch_size", "1", "--dtype", "f32",
+        "--crop_size", "16", "16", "16",
+        "--exp_dir", exp, "--config", str(cfg_path),
+        "--perceptual_weights", str(npz),
+        "--epochs", "1", "--max_steps", "1", "--save_every", "1", "--use_condition",
+    ]
+    train_unet.main(args)
+    assert os.path.exists(os.path.join(exp, "conditional", "AV45", "ckpt", "meta.json"))
