@@ -65,8 +65,19 @@ def make_mci_loaders(args, train_ds, eval_ds, exp):
     from cips_tpu.data.dataset import MCIBatchLoader, PackedMCIDataset, pack_mci
 
     def ensure(ds, packed_dir, tag):
+        want = "fake" if getattr(ds, "pet_name", None) else "real"
         if packed_dir and os.path.exists(os.path.join(packed_dir, "volumes.npy")):
-            return PackedMCIDataset(packed_dir)
+            packed = PackedMCIDataset(packed_dir)
+            # index.json records whether the pack was built from real or
+            # synthesized PET; an explicit --eval_packed_dir must agree with
+            # the run's --test_fake_pet intent (None = pre-provenance pack,
+            # accepted for compatibility).
+            if packed.pet_source is not None and packed.pet_source != want:
+                raise SystemExit(
+                    f"packed dir {packed_dir} was built from {packed.pet_source} PET "
+                    f"but this run expects {want} PET — repack or pass a matching dir"
+                )
+            return packed
         out = packed_dir or os.path.join(exp, f"packed_{tag}")
         if not os.path.exists(os.path.join(out, "volumes.npy")):
             pack_mci(ds, out)

@@ -262,6 +262,7 @@ class MCIClassificationDataset:
         self.min_and_max = dict(min_and_max or {})
         self.use_pet = use_pet
         self.use_t1 = use_t1
+        self.pet_name = pet_name
 
         converters: Dict[str, Dict[str, str]] = {}
         with open(converter_csv, newline="", encoding="utf-8") as f:
@@ -401,7 +402,16 @@ def pack_mci(dataset: "MCIClassificationDataset", out_dir: str, dtype=np.float16
     np.save(os.path.join(out_dir, "covariates.npy"), covs)
     np.save(os.path.join(out_dir, "labels.npy"), labels)
     with open(os.path.join(out_dir, "index.json"), "w", encoding="utf-8") as f:
-        json.dump({"need_values": dataset.need_values, "rows": index}, f)
+        json.dump(
+            {
+                "need_values": dataset.need_values,
+                # provenance: a --test_fake_pet run must never silently
+                # evaluate a previously packed real-PET cache (or vice versa)
+                "pet_source": "fake" if getattr(dataset, "pet_name", None) else "real",
+                "rows": index,
+            },
+            f,
+        )
     return out_dir
 
 
@@ -415,6 +425,7 @@ class PackedMCIDataset:
         with open(os.path.join(path, "index.json"), encoding="utf-8") as f:
             meta = json.load(f)
         self.need_values = meta["need_values"]
+        self.pet_source = meta.get("pet_source")  # None for pre-provenance packs
         self.index = meta["rows"]
 
     def __len__(self) -> int:

@@ -61,7 +61,9 @@ class AttenUNet(nn.Module):
     # activations are tiny but their recompute is not free
     remat_policy: Optional[str] = None  # None = recompute whole blocks; "conv" =
     # save conv outputs (blocks.CONV_SAVE_NAME), recompute only the cheap
-    # elementwise chain between them — backward keeps the MXU work single-pass
+    # elementwise chain between them — backward keeps the MXU work single-pass;
+    # "conv2" = save only each block's final conv (half the saved HBM,
+    # backward re-runs conv1/skip once per block — the batch-12/16 enabler)
     s2d: bool = False  # space-to-depth fine levels: exact math, 128-lane tensors (BENCH_NOTES.md)
     s2d_factors: Optional[Sequence[Optional[Factors]]] = None  # per-level packing factor
     # tuples (None = unpacked). Default when s2d=True: level 0 (2,2,2), level 1
@@ -141,18 +143,10 @@ class AttenUNet(nn.Module):
         # backward recompute is elementwise-only (GN/SiLU/concat).
         skip = self.remat_skip_coarsest
         policy = None
-        if self.remat_policy == "conv":
-            from cips_tpu.models.blocks import CONV_SAVE_NAME, GN_STAT_NAME
+        if self.remat_policy is not None:
+            from cips_tpu.models.blocks import conv_save_policy
 
-            policy = jax.checkpoint_policies.save_only_these_names(CONV_SAVE_NAME, GN_STAT_NAME)
-        elif self.remat_policy == "conv_all":
-            from cips_tpu.models.blocks import CONV_NOSAVE_NAME, CONV_SAVE_NAME, GN_STAT_NAME
-
-            policy = jax.checkpoint_policies.save_only_these_names(
-                CONV_SAVE_NAME, CONV_NOSAVE_NAME, GN_STAT_NAME
-            )
-        elif self.remat_policy is not None:
-            raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+            policy = conv_save_policy(self.remat_policy)
 
         def down_cls(i):
             return (

@@ -251,8 +251,6 @@ class AutoencoderKL(nn.Module):
 
 def _conv_save_policy():
     """save-conv-outputs + GN-stats checkpoint policy (see models/blocks.py)."""
-    import jax
+    from cips_tpu.models.blocks import conv_save_policy
 
-    from cips_tpu.models.blocks import CONV_SAVE_NAME, GN_STAT_NAME
-
-    return jax.checkpoint_policies.save_only_these_names(CONV_SAVE_NAME, GN_STAT_NAME)
+    return conv_save_policy("conv")

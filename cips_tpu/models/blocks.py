@@ -34,8 +34,10 @@ from cips_tpu.ops.s2d import (
     PHASES,
     Factors,
     packed_conv,
+    packed_conv_pooled,
     packed_conv_tiled,
     phase_count,
+    phase_mean,
     phase_tile,
     repack_pool,
     repack_tile,
@@ -54,9 +56,36 @@ Dtype = jnp.dtype
 # those costs 4x their logical size, so they stay whole-block remat.
 CONV_SAVE_NAME = "resconv"
 CONV_NOSAVE_NAME = "resconv_padded"
+# A resblock's FINAL conv output carries a distinct name so the lighter
+# "conv2" policy can keep only one saved tensor per block (half the saved
+# HBM of "conv"; the backward then re-runs conv1/skip once per block) —
+# the trade that unlocks batch 12/16 on the flagship.
+CONV2_SAVE_NAME = "resconv2"
 # GroupNorm statistics: (B, G)-shaped — saving them is ~free and spares the
 # backward recompute its full-tensor reduction passes.
 GN_STAT_NAME = "gnstat"
+
+
+def conv_save_policy(mode: str = "conv"):
+    """jax.checkpoint policy for the named remat modes.
+
+    "conv"     — save every packed conv output (conv1/conv2/skip): backward
+                 recomputes only the elementwise GN/SiLU chain.
+    "conv2"    — save only each block's final conv output: half the saved
+                 set; backward re-runs conv1/skip once per block.
+    "conv_all" — additionally save unpacked (padded-layout) conv outputs.
+    """
+    if mode == "conv":
+        return jax.checkpoint_policies.save_only_these_names(
+            CONV_SAVE_NAME, CONV2_SAVE_NAME, GN_STAT_NAME
+        )
+    if mode == "conv2":
+        return jax.checkpoint_policies.save_only_these_names(CONV2_SAVE_NAME, GN_STAT_NAME)
+    if mode == "conv_all":
+        return jax.checkpoint_policies.save_only_these_names(
+            CONV_SAVE_NAME, CONV2_SAVE_NAME, CONV_NOSAVE_NAME, GN_STAT_NAME
+        )
+    raise ValueError(f"unknown remat policy mode {mode!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -199,10 +228,14 @@ class PackedConv(nn.Module):
     factors: Factors = F8
     tiled_input: bool = False  # input is the UNPACKED pre-tile of a nearest
     # upsample; the tile folds into the kernel (ops/s2d.packed_conv_tiled)
+    pooled_input: bool = False  # input is the PACKED pre-pool of a 2x down
+    # transition into the unpacked next level; phase_mean folds into the
+    # kernel (ops/s2d.packed_conv_pooled) and the output is UNPACKED
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> jax.Array:
+        assert not (self.tiled_input and self.pooled_input)
         # A tuple input is the channel-concat of its parts: the kernel is
         # sliced along Cin and the partial convolutions summed — linearity
         # makes this exact, and the concat temporary never exists.
@@ -214,7 +247,12 @@ class PackedConv(nn.Module):
         kernel_init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         w = self.param("kernel", kernel_init, (k, k, k, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        conv_fn = packed_conv_tiled if self.tiled_input else packed_conv
+        if self.tiled_input:
+            conv_fn = packed_conv_tiled
+        elif self.pooled_input:
+            conv_fn = packed_conv_pooled
+        else:
+            conv_fn = packed_conv
         y = None
         off = 0
         for part, ci in zip(parts, cins):
@@ -222,6 +260,8 @@ class PackedConv(nn.Module):
             yi = conv_fn(part.astype(self.dtype), wi.astype(self.dtype), f=self.factors)
             y = yi if y is None else y + yi
             off += ci
+        if self.pooled_input:  # unpacked output: plain bias
+            return y + b.astype(y.dtype)
         return y + jnp.tile(b.astype(y.dtype), p)
 
 
@@ -358,7 +398,7 @@ class ResnetBlock(nn.Module):
             h = nn.silu(h)
             h = checkpoint_name(
                 PackedConv(out_ch, 3, zero_init=True, factors=f_out, dtype=self.dtype, name="conv2")(h),
-                CONV_SAVE_NAME,
+                CONV2_SAVE_NAME,
             )
             if out_ch != in_ch:
                 xs = checkpoint_name(
@@ -386,10 +426,15 @@ class ResnetBlock(nn.Module):
         # kernels (packed_conv_tiled) — the P*C-channel tile temporary was
         # the dominant batch>8 HBM allocation.
         fuse_tile = self.up and f_in is None and f_out == F8
+        # downsampling out of the (2,2,2)-packed domain: the pool windows
+        # coincide with the packing cells, so conv1/skip fold the phase_mean
+        # into their kernels (packed_conv_pooled) — the pooled temporary and
+        # its relayout never materialise (mirror of the fold-tile trick).
+        fuse_pool = self.down and f_in == F8 and f_out is None
         if self.up and not fuse_tile:
             x = repack_tile(x, f_in, f_out)
             h = repack_tile(h, f_in, f_out)
-        elif self.down:
+        elif self.down and not fuse_pool:
             x = repack_pool(x, f_in, f_out)
             h = repack_pool(h, f_in, f_out)
 
@@ -406,7 +451,7 @@ class ResnetBlock(nn.Module):
             h = nn.silu(h)
             h = checkpoint_name(
                 PackedConv(out_ch, 3, zero_init=True, factors=f_out, dtype=self.dtype, name="conv2")(h),
-                CONV_SAVE_NAME,
+                CONV2_SAVE_NAME,
             )
             if out_ch != in_ch:
                 x = checkpoint_name(
@@ -419,9 +464,18 @@ class ResnetBlock(nn.Module):
                 # identity skip: the tile materialises only at the residual add
                 x = phase_tile(x, f_out)
         else:
-            h = checkpoint_name(
-                conv(out_ch, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv1")(h), CONV_NOSAVE_NAME
-            )
+            if fuse_pool:
+                h = checkpoint_name(
+                    PackedConv(
+                        out_ch, 3, factors=f_in, pooled_input=True, dtype=self.dtype, name="conv1"
+                    )(h),
+                    CONV_NOSAVE_NAME,
+                )
+            else:
+                h = checkpoint_name(
+                    conv(out_ch, 3, 1, self.spatial_dims, dtype=self.dtype, name="conv1")(h),
+                    CONV_NOSAVE_NAME,
+                )
             h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm2")(h)
             h = nn.silu(h)
             h = checkpoint_name(
@@ -429,9 +483,21 @@ class ResnetBlock(nn.Module):
                 CONV_NOSAVE_NAME,
             )
             if out_ch != in_ch:
-                x = checkpoint_name(
-                    conv(out_ch, 1, 1, self.spatial_dims, dtype=self.dtype, name="skip")(x), CONV_NOSAVE_NAME
-                )
+                if fuse_pool:
+                    x = checkpoint_name(
+                        PackedConv(
+                            out_ch, 1, factors=f_in, pooled_input=True, dtype=self.dtype, name="skip"
+                        )(x),
+                        CONV_NOSAVE_NAME,
+                    )
+                else:
+                    x = checkpoint_name(
+                        conv(out_ch, 1, 1, self.spatial_dims, dtype=self.dtype, name="skip")(x),
+                        CONV_NOSAVE_NAME,
+                    )
+            elif fuse_pool:
+                # identity skip: the pooled tensor materialises only at the add
+                x = phase_mean(x, f_in)
         return x + h
 
 

@@ -56,8 +56,22 @@ def mutual_information_loss(
     """Negative MI via differentiable Parzen soft histograms (Mattes-style,
     the metric ANTs' rigid 'reg' uses). ``mask`` weights each voxel's
     contribution to the joint histogram."""
-    a = (a - a.min()) / jnp.maximum(a.max() - a.min(), eps)
-    b = (b - b.min()) / jnp.maximum(b.max() - b.min(), eps)
+    # Normalise the intensity range over masked voxels only — an unmasked
+    # bright background artifact (the case the mask exists for) would
+    # otherwise compress the foreground into a few histogram bins.
+    def _minmax(x):
+        if mask is None:
+            return x.min(), x.max()
+        m = mask.astype(bool)
+        return (
+            jnp.where(m, x, jnp.inf).min(),
+            jnp.where(m, x, -jnp.inf).max(),
+        )
+
+    a_lo, a_hi = _minmax(a)
+    b_lo, b_hi = _minmax(b)
+    a = jnp.clip((a - a_lo) / jnp.maximum(a_hi - a_lo, eps), 0.0, 1.0)
+    b = jnp.clip((b - b_lo) / jnp.maximum(b_hi - b_lo, eps), 0.0, 1.0)
     centers = (jnp.arange(nbins, dtype=jnp.float32) + 0.5) / nbins
     bw = sigma / nbins
 

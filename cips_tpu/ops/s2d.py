@@ -91,22 +91,31 @@ def phase_tile(x: jax.Array, f: Factors = F8) -> jax.Array:
 
 
 def _pool2(x: jax.Array) -> jax.Array:
-    """2x average pool over the three spatial axes of (B, Z, Y, X, C).
+    """2x average pool over all spatial axes of (B, *S, C); rank-generic so
+    the unpacked (f_in is None) path serves 2-D models too.
 
     Reshape + mean (not reduce_window) so the op linearises cleanly inside
     jax.checkpoint policies."""
-    b, z, y, w, c = x.shape
-    x = x.reshape(b, z // 2, 2, y // 2, 2, w // 2, 2, c)
-    return x.mean(axis=(2, 4, 6))
+    b, *spatial, c = x.shape
+    shape = [b]
+    for s in spatial:
+        shape += [s // 2, 2]
+    x = x.reshape(*shape, c)
+    return x.mean(axis=tuple(range(2, 2 * len(spatial) + 1, 2)))
 
 
 def _tile2(x: jax.Array) -> jax.Array:
-    """Nearest 2x upsample over the three spatial axes (broadcast + reshape)."""
-    b, z, y, w, c = x.shape
-    x = jnp.broadcast_to(
-        x[:, :, None, :, None, :, None, :], (b, z, 2, y, 2, w, 2, c)
-    )
-    return x.reshape(b, 2 * z, 2 * y, 2 * w, c)
+    """Nearest 2x upsample over all spatial axes (broadcast + reshape)."""
+    b, *spatial, c = x.shape
+    idx: list = [slice(None)]
+    target = [b]
+    for s in spatial:
+        idx += [slice(None), None]
+        target += [s, 2]
+    idx.append(slice(None))
+    target.append(c)
+    x = jnp.broadcast_to(x[tuple(idx)], tuple(target))
+    return x.reshape(b, *(2 * s for s in spatial), c)
 
 
 def repack_pool(x: jax.Array, f_in: Optional[Factors], f_out: Optional[Factors]) -> jax.Array:
@@ -301,6 +310,32 @@ def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1, f: Factors = F8) ->
     """Convolution in the packed domain with an original-parameter kernel."""
     assert stride == 1, "packed domain only hosts stride-1 convs"
     return packed_conv_dense(x, w, f)
+
+
+def packed_conv_pooled(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
+    """conv(phase_mean(x, f), w) WITHOUT materialising the pooled tensor.
+
+    Down-transition mirror of `packed_conv_tiled`: when the 2x pooling
+    windows coincide with the packing cells (f == (2,2,2) into an unpacked
+    next level) the pooled tensor lives on the packed grid and the phase
+    mean folds into the kernel by linearity:
+      conv(mean_p x_p, w) == conv(x, tile_p(w) / P).
+    Issues P-times the mathematical MACs, but at Cin <= 16 the MXU lanes
+    were padded to 128 anyway — the pooled (B,Z,Y,X,Cin) temporary and its
+    relayout never exist. x: packed (B,Z,Y,X,P*Cin); returns UNPACKED
+    (B,Z,Y,X,Cout) on the pooled grid.
+    """
+    k, _, _, cin, cout = w.shape
+    p = phase_count(f)
+    wf = jnp.tile(w, (1, 1, 1, p, 1)) / p  # phase-major Cin: index p*Cin + c
+    pad = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x,
+        wf.astype(x.dtype),
+        (1, 1, 1),
+        [(pad, pad)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
 
 
 def packed_conv_tiled(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:

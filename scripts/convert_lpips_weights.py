@@ -75,17 +75,34 @@ def convert_backbone(state: dict, net: str) -> dict:
     return out
 
 
-def convert_lins(state: dict, net: str) -> dict:
-    """richzhang lpips.LPIPS state_dict -> lpips/lin{i} (C, 1) arrays."""
+def convert_lins(state: dict, net: str, strict: bool = False) -> dict:
+    """richzhang lpips.LPIPS state_dict -> lpips/lin{i} (C, 1) arrays.
+
+    Checkpoints saved with use_dropout=True store the conv at ``model.1``;
+    with use_dropout=False it is ``model.0`` — both layouts are accepted.
+    With ``strict`` (set when --lpips was explicitly supplied) a tap with no
+    matching key raises instead of silently falling back to 1/C calibration.
+    """
     taps = SQUEEZE_TAP_CHANNELS if net == "squeeze" else ALEX_TAP_CHANNELS
     out = {}
     for i, c in enumerate(taps):
-        for key in (f"lins.{i}.model.1.weight", f"lin{i}.model.1.weight"):
+        candidates = (
+            f"lins.{i}.model.1.weight",
+            f"lin{i}.model.1.weight",
+            f"lins.{i}.model.0.weight",
+            f"lin{i}.model.0.weight",
+        )
+        for key in candidates:
             if key in state:
                 w = np.asarray(state[key], np.float32)  # (1, C, 1, 1)
                 out[f"lpips/lin{i}"] = w.reshape(1, c).T.copy()
                 break
         else:
+            if strict:
+                raise KeyError(
+                    f"--lpips state_dict has no lin weight for tap {i} "
+                    f"(tried {candidates}); keys present: {sorted(state)[:8]}..."
+                )
             out[f"lpips/lin{i}"] = np.full((c, 1), 1.0 / c, np.float32)
     return out
 
@@ -106,7 +123,7 @@ def main(argv=None):
     if args.lpips:
         lp = torch.load(args.lpips, map_location="cpu", weights_only=True)
         lins = {k: v.numpy() for k, v in lp.items()}
-    flat.update(convert_lins(lins, args.net))
+    flat.update(convert_lins(lins, args.net, strict=bool(args.lpips)))
     np.savez(args.out, **flat)
     print(f"wrote {len(flat)} arrays -> {args.out}")
 

@@ -62,6 +62,24 @@ def test_atten_unet_unconditional_and_resblock_updown():
     assert y.shape == x.shape
 
 
+def test_resblock_updown_2d():
+    """Regression: repack_pool/repack_tile must stay rank-generic on the
+    unpacked path — 2-D resblock up/down configs (spatial_dims=2, which the
+    reference's AttenUNet supports) previously crashed in the 5-D-only
+    _pool2/_tile2."""
+    from cips_tpu.models.blocks import ResnetBlock
+
+    x = jnp.ones((1, 8, 16, 8))
+    down = ResnetBlock(spatial_dims=2, out_channels=8, down=True, norm_num_groups=8)
+    p = down.init(jax.random.key(0), x)
+    y = down.apply(p, x)
+    assert y.shape == (1, 4, 8, 8)
+    up = ResnetBlock(spatial_dims=2, out_channels=8, up=True, norm_num_groups=8)
+    p = up.init(jax.random.key(0), y)
+    z = up.apply(p, y)
+    assert z.shape == (1, 8, 16, 8)
+
+
 def test_encoder_mlp_head_logits():
     model = DiffusionModelEncoder(
         spatial_dims=3,

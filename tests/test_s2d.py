@@ -53,6 +53,23 @@ def test_phase_mean_equals_avgpool():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.parametrize("k", [1, 3])
+def test_packed_conv_pooled_exact(k):
+    """conv(phase_mean(x), w) == packed_conv_pooled(x, w) — the fold that
+    removes the down-transition's pooled temporary (blocks.ResnetBlock
+    fuse_pool path)."""
+    from cips_tpu.ops.s2d import packed_conv_pooled
+
+    rng = np.random.default_rng(7)
+    cin, cout = 3, 5
+    x = jnp.asarray(rng.standard_normal((2, 8, 6, 4, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, k, cin, cout)), jnp.float32) * 0.2
+    packed = space_to_depth(x)
+    want = _conv_full(phase_mean(packed), w)
+    got = packed_conv_pooled(packed, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
 def test_phase_tile_equals_nearest_upsample():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.random((1, 4, 3, 2, 5)), jnp.float32)
