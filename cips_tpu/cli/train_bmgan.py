@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--max_steps", type=int, default=0)
+    p.add_argument("--exact_d_fake", action="store_true",
+                   help="E/D train on the POST-update generator's fake (reference "
+                        "train_bmgan.py:168-169,188-190 semantics; +1 G forward/step)")
     p.add_argument("--perceptual_weights", default=None,
                    help=".npz of converted pretrained LPIPS (alex) weights")
     args = p.parse_args(argv)
@@ -56,7 +59,10 @@ def main(argv=None):
     train_loader, eval_loader = common.make_loaders(args, need_values=[])
     writer = MetricWriter(os.path.join(args.exp_dir, "log"), enabled=is_lead)
     step_fn = jax.jit(
-        bmgan_task.make_train_step(g, e, d_, perc, args.lamda_l1, args.lamda_perceptual),
+        bmgan_task.make_train_step(
+            g, e, d_, perc, args.lamda_l1, args.lamda_perceptual,
+            exact_d_fake=args.exact_d_fake,
+        ),
         donate_argnums=0,
     )
     eval_fn = jax.jit(bmgan_task.make_eval_step(g))

@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--max_steps", type=int, default=0)
+    p.add_argument("--exact_d_fake", action="store_true",
+                   help="D trains on a fresh fake from the POST-update generator "
+                        "(reference train_unify_causal_gen.py:255-263 semantics)")
     p.add_argument("--perceptual_weights", default=None,
                    help=".npz of converted pretrained LPIPS weights")
     args = p.parse_args(argv)
@@ -56,7 +59,11 @@ def main(argv=None):
     train_loader, eval_loader = common.make_loaders(args, need_values)
     writer = MetricWriter(dirs["log"], enabled=is_lead)
     step_fn = jax.jit(
-        causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, train_cfg), donate_argnums=0
+        causal_task.make_train_step(
+            enc, t1_dec, pet_dec, disc, perc, train_cfg,
+            exact_d_fake=(True if args.exact_d_fake else None),
+        ),
+        donate_argnums=0,
     )
     eval_fn = jax.jit(causal_task.make_eval_step(enc, t1_dec, pet_dec))
 

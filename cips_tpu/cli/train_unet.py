@@ -44,6 +44,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help=".npz of converted pretrained LPIPS weights (scripts/convert_lpips_weights.py)")
     p.add_argument("--nan_guard", action="store_true",
                    help="discard parameter updates on non-finite loss (failure detection)")
+    p.add_argument("--exact_d_fake", action="store_true",
+                   help="D trains on the POST-update generator's fake (reference "
+                        "train_unet.py:175-176 semantics; +1 G forward/step)")
     return p
 
 
@@ -83,7 +86,8 @@ def main(argv=None):
     timer = StepTimer()
 
     raw_step = unet_synthesis.make_train_step(
-        generator, discriminator, perceptual, train_cfg, use_condition=args.use_condition
+        generator, discriminator, perceptual, train_cfg, use_condition=args.use_condition,
+        exact_d_fake=(True if args.exact_d_fake else None),
     )
     if args.nan_guard:
         from cips_tpu.training.common import guard_nonfinite

@@ -296,6 +296,120 @@ def import_patch_discriminator(state_dict: Mapping[str, Any], num_layers_d: int 
     return out
 
 
+# ---------------------------------------------------------------------------
+# BMGAN (bl_methods/BMGAN/bmgan_model.py) — name-structured import from the
+# vendored torch Sequential layout. The reference's InstanceNorms are
+# affine=False (no parameters); our _InstanceNorm templates fill scale=1 /
+# bias=0, which computes the identical normalisation.
+# ---------------------------------------------------------------------------
+
+
+def _map_raw_conv(out, kt, pf, sd, transposed=False):
+    """A bare nn.Conv3d / nn.ConvTranspose3d ``kt``.{weight,bias} pair."""
+    w = _np(sd[f"{kt}.weight"])
+    if transposed:
+        # torch ConvTranspose(k,s,p=1) == flax ConvTranspose('SAME') with the
+        # spatial axes flipped; layout (in,out,*k) -> (*k,in,out). Verified
+        # numerically (tests/test_bmgan_golden_parity.py).
+        flip = (slice(None), slice(None)) + (slice(None, None, -1),) * (w.ndim - 2)
+        w = np.ascontiguousarray(w[flip].transpose(tuple(range(2, w.ndim)) + (0, 1)))
+    else:
+        w = _conv_w(w)
+    _set(out, f"{pf}/kernel", w)
+    if f"{kt}.bias" in sd:
+        _set(out, f"{pf}/bias", _np(sd[f"{kt}.bias"]))
+
+
+def _fill_in_norm(out, pf, c):
+    """affine-free torch InstanceNorm -> identity affine in our template."""
+    _set(out, f"{pf}/scale", np.ones(c, np.float32))
+    _set(out, f"{pf}/bias", np.zeros(c, np.float32))
+
+
+def _map_dense_block(out, pt, pf, sd):
+    """reference get_dense_block (bmgan_model.py:12-23): two rounds of
+    [ConvDenseBlock(num_res_units=1) -> fuse conv -> InstanceNorm -> LReLU]
+    onto our _DenseBlock's unit_{j}/fuse_{j}/norm_{j}."""
+    for j, base in enumerate((0, 4)):
+        uc = f"{pt}.{base}.layers0.conv.unit0.conv"
+        _map_raw_conv(out, uc, f"{pf}/unit_{j}/conv", sd)
+        c_unit = int(_np(sd[f"{uc}.weight"]).shape[0])
+        _fill_in_norm(out, f"{pf}/unit_{j}/norm", c_unit)
+        if f"{pt}.{base}.layers0.residual.weight" in sd:
+            _map_raw_conv(out, f"{pt}.{base}.layers0.residual", f"{pf}/unit_{j}/skip", sd)
+        fc = f"{pt}.{base + 1}"
+        _map_raw_conv(out, fc, f"{pf}/fuse_{j}", sd)
+        _fill_in_norm(out, f"{pf}/norm_{j}", int(_np(sd[f"{fc}.weight"]).shape[0]))
+
+
+def import_bmgan_generator(state_dict: Mapping[str, Any]) -> Dict:
+    """torch dense_unet_generator state_dict -> flax DenseUNetGenerator params
+    (bmgan_model.py:25-101; checkpointed at train_bmgan.py:293-305)."""
+    sd = strip_ddp_prefix(state_dict)
+    out: Dict = {}
+    _map_raw_conv(out, "input_layer.0", "stem_0", sd)
+    _fill_in_norm(out, "stem_norm_0", int(_np(sd["input_layer.0.weight"]).shape[0]))
+    _map_raw_conv(out, "input_layer.3", "stem_1", sd)
+    _fill_in_norm(out, "stem_norm_1", int(_np(sd["input_layer.3.weight"]).shape[0]))
+    _map_raw_conv(out, "input_layer.6", "stem_down", sd)
+    _fill_in_norm(out, "stem_down_norm", int(_np(sd["input_layer.6.weight"]).shape[0]))
+
+    i = 0
+    while _has(sd, f"down_layers.{i}."):
+        _map_dense_block(out, f"down_layers.{i}", f"down_dense_{i}", sd)
+        _map_raw_conv(out, f"down_layers.{i}.8", f"down_conv_{i}", sd)
+        _fill_in_norm(out, f"down_norm_{i}", int(_np(sd[f"down_layers.{i}.8.weight"]).shape[0]))
+        i += 1
+
+    _map_dense_block(out, "middle_layers", "middle", sd)
+
+    i = 0
+    while _has(sd, f"up_layers.{i}."):
+        _map_dense_block(out, f"up_layers.{i}", f"up_dense_{i}", sd)
+        _map_raw_conv(out, f"up_layers.{i}.8", f"up_tconv_{i}", sd, transposed=True)
+        _fill_in_norm(out, f"up_norm_{i}", int(_np(sd[f"up_layers.{i}.8.weight"]).shape[1]))
+        i += 1
+
+    _map_raw_conv(out, "output_layer.0", "head_0", sd)
+    _fill_in_norm(out, "head_norm_0", int(_np(sd["output_layer.0.weight"]).shape[0]))
+    _map_raw_conv(out, "output_layer.3", "head_1", sd)
+    _fill_in_norm(out, "head_norm_1", int(_np(sd["output_layer.3.weight"]).shape[0]))
+    _map_raw_conv(out, "output_layer.6", "head_out", sd)
+    return out
+
+
+def import_bmgan_encoder(state_dict: Mapping[str, Any]) -> Dict:
+    """torch ResNet_encoder state_dict -> flax ResNetEncoder params
+    (bmgan_model.py:103-130: MONAI ResidualUnit stride 2, subunits=2,
+    PReLU; linear heads permuted for the NCDHW->NDHWC flatten)."""
+    sd = strip_ddp_prefix(state_dict)
+    out: Dict = {}
+    _map_raw_conv(out, "input_layer.0", "stem", sd)
+    _fill_in_norm(out, "stem_norm", int(_np(sd["input_layer.0.weight"]).shape[0]))
+    i = 0
+    last_c = None
+    while _has(sd, f"resblocks.{i}."):
+        pt, pf = f"resblocks.{i}", f"res_{i}"
+        _map_raw_conv(out, f"{pt}.conv.unit0.conv", f"{pf}/conv", sd)
+        c = int(_np(sd[f"{pt}.conv.unit0.conv.weight"]).shape[0])
+        _fill_in_norm(out, f"{pf}/norm", c)
+        _set(out, f"{pf}/prelu_0", _np(sd[f"{pt}.conv.unit0.adn.A.weight"]).reshape(1))
+        _map_raw_conv(out, f"{pt}.conv.unit1.conv", f"{pf}/conv_1", sd)
+        _fill_in_norm(out, f"{pf}/norm_1", c)
+        _set(out, f"{pf}/prelu_1", _np(sd[f"{pt}.conv.unit1.adn.A.weight"]).reshape(1))
+        if f"{pt}.residual.weight" in sd:
+            _map_raw_conv(out, f"{pt}.residual", f"{pf}/skip", sd)
+        last_c = c
+        i += 1
+    for t, f in (("linear1", "mu"), ("linear2", "log_var")):
+        w = _np(sd[f"{t}.weight"])  # (latent, C*S) over (C, D, H, W) flatten
+        s = w.shape[1] // last_c
+        w = w.reshape(w.shape[0], last_c, s).transpose(0, 2, 1).reshape(w.shape[0], -1)
+        _set(out, f"{f}/kernel", w.T)
+        _set(out, f"{f}/bias", _np(sd[f"{t}.bias"]))
+    return out
+
+
 def import_checkpoint(path: str, num_levels: int, transformer_num_layers: int = 1) -> Dict[str, Any]:
     """Load a reference .ckpt; returns {"unet": flax_params_subtree,
     "epoch": int, "raw": full torch dict}."""

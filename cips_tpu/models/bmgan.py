@@ -39,20 +39,41 @@ def _conv(spatial_dims, features, kernel=3, stride=1, name=None, dtype=jnp.float
 
 
 class _ResidualUnit(nn.Module):
-    """MONAI-style ResidualUnit: conv/norm/act with a (1x1) residual path."""
+    """MONAI ResidualUnit (monai.networks.blocks.convolutions semantics):
+    ``subunits`` x (conv k3 -> InstanceNorm -> act) with the stride on the
+    FIRST conv, plus a residual path — identity when shape-preserving, else
+    a conv with kernel 1 (stride 1) or kernel 3 (strided), exactly MONAI's
+    rkernel rule. ``act``: 'leakyrelu' (slope 0.2 — the ConvDenseBlock call
+    sites, bmgan_model.py:14-21) or 'prelu' (the MONAI default the
+    reference's ResNet_encoder units inherit, bmgan_model.py:118)."""
 
     spatial_dims: int
     features: int
     stride: int = 1
+    subunits: int = 1
+    act: str = "leakyrelu"
     dtype: jnp.dtype = jnp.float32
+
+    def _apply_act(self, x: jax.Array, i: int) -> jax.Array:
+        if self.act == "prelu":
+            # torch nn.PReLU(): one shared learned slope, init 0.25
+            a = self.param(f"prelu_{i}", nn.initializers.constant(0.25), (1,), jnp.float32)
+            return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+        return nn.leaky_relu(x, 0.2)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = _conv(self.spatial_dims, self.features, 3, self.stride, "conv", self.dtype)(x)
-        h = _InstanceNorm(name="norm")(h)
-        h = nn.leaky_relu(h, 0.2)
+        h = x
+        stride = self.stride
+        for i in range(max(1, self.subunits)):
+            cname, nname = ("conv", "norm") if i == 0 else (f"conv_{i}", f"norm_{i}")
+            h = _conv(self.spatial_dims, self.features, 3, stride, cname, self.dtype)(h)
+            h = _InstanceNorm(name=nname)(h)
+            h = self._apply_act(h, i)
+            stride = 1
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = _conv(self.spatial_dims, self.features, 1, self.stride, "skip", self.dtype)(x)
+            k = 1 if self.stride == 1 else 3
+            x = _conv(self.spatial_dims, self.features, k, self.stride, "skip", self.dtype)(x)
         return x + h
 
 
@@ -151,7 +172,11 @@ class ResNetEncoder(nn.Module):
         h = _InstanceNorm(name="stem_norm")(h)
         h = nn.relu(h)
         for i, c in enumerate(self.channels):
-            h = _ResidualUnit(sd, c, stride=2, dtype=self.dtype, name=f"res_{i}")(h)
+            # reference: ResidualUnit(3, cur, c, strides=2, padding=1) with
+            # MONAI defaults — subunits=2, PReLU act (bmgan_model.py:118)
+            h = _ResidualUnit(
+                sd, c, stride=2, subunits=2, act="prelu", dtype=self.dtype, name=f"res_{i}"
+            )(h)
         h = h.reshape(h.shape[0], -1)
         mu = nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32, name="mu")(h)
         log_var = nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32, name="log_var")(h)

@@ -9,9 +9,12 @@ TPU re-design of `bl_methods/BMGAN/train_bmgan.py`'s three-optimiser loop
 No covariates (need_values=[], :110-113).
 
 All three updates run inside ONE jitted step with separate optimiser
-states; the reference's two extra no-grad generator re-forwards (:169-171,
-:189-191) are replaced by reusing the stop-gradiented fake — identical
-losses, two full G forwards saved per step.
+states; by default the reference's two extra no-grad generator re-forwards
+(:169-171, :189-191) are replaced by reusing the stop-gradiented fake —
+identical losses, two full G forwards saved per step, one-step-stale
+dynamics. ``exact_d_fake=True`` restores the reference's post-update fake
+exactly (one extra G forward; measured stale-vs-exact delta in
+BENCH_NOTES.md).
 """
 
 from __future__ import annotations
@@ -82,7 +85,14 @@ def make_train_step(
     lamda_l1: float = 20.0,
     lamda_perceptual: float = 8.0,
     latent_dim: int = 8,
+    exact_d_fake: bool = False,
 ) -> Callable:
+    """``exact_d_fake`` reproduces the reference's semantics exactly: the E
+    and D phases see the POST-update generator's fake (train_bmgan.py
+    :168-169, :188-190 re-forward G with no_grad after the G step) at the
+    cost of one extra generator forward per step. Default reuses the
+    pre-update fake (one-step stale; same fixed points — module doc)."""
+
     def train_step(
         state: BMGANState, batch: Mapping[str, jax.Array], rng: jax.Array
     ) -> Tuple[BMGANState, Dict]:
@@ -104,7 +114,10 @@ def make_train_step(
 
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g.params)
         new_g = state.g.apply_gradients(g_grads)
-        fake = jax.lax.stop_gradient(aux["fake"])
+        if exact_d_fake:
+            fake = jax.lax.stop_gradient(generator.apply(new_g.params, t1, z))
+        else:
+            fake = jax.lax.stop_gradient(aux["fake"])
 
         def e_loss_fn(e_params):
             # one batched E pass over [real; fake]

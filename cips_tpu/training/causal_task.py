@@ -14,10 +14,11 @@ Losses (config training_causal.json:88-94; loop :240-252):
             exactly as the reference's kl_divergence(z_mu, z_sigma) does]
   one Adam over encoder + both decoders on (g_loss + t1_loss);
   separate D step (:255-290). The reference re-encodes/decodes with the
-  POST-update generator so D sees a fresh fake; here the pre-update fake is
-  reused under stop_gradient — a deliberate one-step-stale approximation
-  (different training dynamics, same fixed points) that saves a full
-  E+decoder forward per step.
+  POST-update generator so D sees a fresh fake; by default the pre-update
+  fake is reused under stop_gradient — a deliberate one-step-stale
+  approximation (different training dynamics, same fixed points) that
+  saves a full E+decoder forward per step. ``exact_d_fake=True`` (arg or
+  config key) restores the reference's fresh-fake semantics exactly.
 The reference's stale-`t1_rec` eval bug (:330) is not replicated.
 """
 
@@ -127,10 +128,13 @@ def make_train_step(
     discriminator: PatchDiscriminator,
     perceptual: Optional[PerceptualLoss],
     train_cfg: Mapping[str, Any],
+    exact_d_fake: Optional[bool] = None,
 ) -> Callable:
     pw = float(train_cfg.get("perceptual_weight", 0.02))
     aw = float(train_cfg.get("adv_weight", 0.005))
     kw = float(train_cfg.get("kl_weight", 0.001))
+    if exact_d_fake is None:
+        exact_d_fake = bool(train_cfg.get("exact_d_fake", False))
 
     def train_step(
         state: CausalState, batch: Mapping[str, jax.Array], rng: jax.Array
@@ -184,7 +188,19 @@ def make_train_step(
         }
 
         if aw > 0:
-            fake = jax.lax.stop_gradient(aux["fake"])
+            if exact_d_fake:
+                # reference semantics: D sees a fresh fake from the
+                # POST-update encoder/decoder (train_unify_causal_gen.py
+                # :255-263 re-runs the generator under no_grad) — costs one
+                # extra E + PET-decoder forward per step
+                latent = encoder.apply(new_gen.params["encoder"], t1)
+                z_mu, z_sigma = _split_latent(latent)
+                eps_d = jax.random.normal(r_pet, z_sigma.shape, z_sigma.dtype)
+                fake = jax.lax.stop_gradient(
+                    pet_decoder.apply(new_gen.params["pet_decoder"], z_mu + eps_d * z_sigma, info)
+                )
+            else:
+                fake = jax.lax.stop_gradient(aux["fake"])
 
             def d_loss_fn(d_params):
                 logits = discriminator.apply(d_params, jnp.concatenate([fake, pet], axis=0))[-1]

@@ -107,6 +107,26 @@ def main():
     except Exception as e:  # memory analysis may be unavailable on CPU
         print(f"(memory analysis unavailable: {e})")
 
+    if "--run" in sys.argv:
+        # EXECUTE the full-volume multi-device step (not just compile): the
+        # recorded evidence that space-axis sharding runs end to end. CPU
+        # emulation wall time is not a TPU prediction — the collective
+        # payload above against ICI rates is.
+        import time
+
+        state, metrics = step(state, batch_data)
+        g0 = float(metrics["g_loss"])
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch_data)
+        g1 = float(metrics["g_loss"])
+        dt = time.perf_counter() - t0
+        assert np.isfinite(g0) and np.isfinite(g1)
+        print(
+            f"EXECUTED full-volume step on data={n_data} x space={n_space} virtual mesh: "
+            f"batch {batch}, g_loss {g0:.4f} -> {g1:.4f}, "
+            f"wall {dt:.1f} s/step (CPU emulation)"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -54,7 +54,7 @@ def tree(tmp_path_factory):
     root = tmp_path_factory.mktemp("data")
     rng = np.random.default_rng(0)
     rows = []
-    for i in range(4):
+    for i in range(6):
         subj = f"s{i}"
         rows.append(PairRow(subj, f"2011-0{i+1}-01", f"2011-0{i+1}-10",
                             {"ABETA": str(400 + 100 * i), "Age": str(70 + i),
@@ -65,13 +65,16 @@ def tree(tmp_path_factory):
             d.mkdir(parents=True)
             nifti.write(str(d / "img.nii.gz"), rng.random((8, 16, 8)).astype(np.float32))
     train_csv = root / "train.csv"
-    write_manifest(str(train_csv), rows[:3])
+    write_manifest(str(train_csv), rows[:4])
+    # eval split carries BOTH classes (s4 non-converter, s5 converter) so
+    # classifier AUC is defined — no degenerate one-class eval
     test_csv = root / "test.csv"
-    write_manifest(str(test_csv), rows[3:])
+    write_manifest(str(test_csv), rows[4:])
     stats = {"ABETA": [0, 2000], "Age": [55, 94], "PTEDUCAT": [6, 20]}
     (root / "stats.json").write_text(json.dumps(stats))
     (root / "conv.csv").write_text(
-        "Subject,MCI_converter,Converter_date\ns0,0,\ns1,1,2020-01-01\ns2,0,\ns3,1,2020-01-01\n"
+        "Subject,MCI_converter,Converter_date\ns0,0,\ns1,1,2020-01-01\ns2,0,\n"
+        "s3,1,2020-01-01\ns4,0,\ns5,1,2020-01-01\n"
     )
     return root
 

@@ -100,13 +100,74 @@ def test_bmgan_train_step():
         "t1": jnp.asarray(rng.random(shape, np.float32)),
         "pet": jnp.asarray(rng.random(shape, np.float32)),
     }
-    for i in range(2):
+    first = last = None
+    for i in range(8):
         state, metrics = step(state, batch, jax.random.key(i))
         for k in ("g_loss", "e_loss", "d_loss", "l1_loss"):
             assert np.isfinite(float(metrics[k])), k
+        first = first if first is not None else float(metrics["l1_loss"])
+        last = float(metrics["l1_loss"])
+    assert last < first  # learning, not just liveness
     ev = jax.jit(bmgan_task.make_eval_step(g))
     out = ev(state, batch, jax.random.key(5))
     assert out["fake"].shape == shape
+
+
+def test_bmgan_exact_d_fake_step():
+    """exact_d_fake re-forwards the post-update G for the E/D phases
+    (reference train_bmgan.py:168-169,188-190); same losses structure,
+    different D dynamics than the stale default."""
+    g = DenseUNetGenerator(
+        input_conv_channel=4, down_channels=(4, 8), middle_channels=8, up_channels=(8, 4, 4)
+    )
+    e = ResNetEncoder(input_layer_channel=4, channels=(4, 8))
+    d = BMGANDiscriminator(num_layers_d=1)
+    p = PerceptualLoss(spatial_dims=3)
+    shape = (1, 16, 16, 16, 1)
+    rng = np.random.default_rng(3)
+    batch = {
+        "t1": jnp.asarray(rng.random(shape, np.float32)),
+        "pet": jnp.asarray(rng.random(shape, np.float32)),
+    }
+    state0 = bmgan_task.init_state(jax.random.key(0), g, e, d, p, shape, perceptual_weight=0.0)
+    stale = jax.jit(bmgan_task.make_train_step(g, e, d, p, lamda_perceptual=0.0))
+    exact = jax.jit(
+        bmgan_task.make_train_step(g, e, d, p, lamda_perceptual=0.0, exact_d_fake=True)
+    )
+    _, m_stale = stale(state0, batch, jax.random.key(1))
+    _, m_exact = exact(state0, batch, jax.random.key(1))
+    for k in ("g_loss", "e_loss", "d_loss"):
+        assert np.isfinite(float(m_exact[k])), k
+    # the G phase is identical; E/D see a different (post-update) fake
+    np.testing.assert_allclose(float(m_stale["g_loss"]), float(m_exact["g_loss"]), rtol=1e-6)
+    assert float(m_stale["d_loss"]) != float(m_exact["d_loss"])
+
+
+def test_causal_exact_d_fake_step():
+    enc, t1_dec, pet_dec, disc, perc = causal_task.build_models(
+        CAUSAL_CFG, n_covariates=4, dtype=jnp.float32
+    )
+    shape = (1, 8, 16, 8, 1)
+    state0 = causal_task.init_state(
+        jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, CAUSAL_TRAIN, shape, n_covariates=4
+    )
+    rng = np.random.default_rng(4)
+    batch = {
+        "t1": jnp.asarray(rng.random(shape, np.float32)),
+        "pet": jnp.asarray(rng.random(shape, np.float32)),
+        "info": jnp.asarray(rng.random((1, 1, 4), np.float32)),
+    }
+    stale = jax.jit(causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, CAUSAL_TRAIN))
+    exact = jax.jit(
+        causal_task.make_train_step(
+            enc, t1_dec, pet_dec, disc, perc, CAUSAL_TRAIN, exact_d_fake=True
+        )
+    )
+    _, m_stale = stale(state0, batch, jax.random.key(1))
+    _, m_exact = exact(state0, batch, jax.random.key(1))
+    assert np.isfinite(float(m_exact["d_loss"]))
+    np.testing.assert_allclose(float(m_stale["g_loss"]), float(m_exact["g_loss"]), rtol=1e-6)
+    assert float(m_stale["d_loss"]) != float(m_exact["d_loss"])
 
 
 CLS_CFG = {
