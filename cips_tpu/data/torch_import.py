@@ -297,6 +297,112 @@ def import_patch_discriminator(state_dict: Mapping[str, Any], num_layers_d: int 
 
 
 # ---------------------------------------------------------------------------
+# Causal decoders (train_unify_causal_gen.py:392-401 checkpoints the VAE
+# `Decoder` and the `DiffusionModelDecoder`). Their torch sources are the
+# author's external monai_diffusion package (NOT vendored in the reference),
+# so these mappings follow the published MONAI-generative structure: the
+# AutoencoderKL Decoder is a flat `blocks` ModuleList (conv_in, ResBlocks
+# with norm1/conv1/norm2/conv2/nin_shortcut, Upsample with a post conv,
+# final GroupNorm + conv), and the atten_decoder follows the vendored
+# AttenUNet family's naming (conv_in / middle_block / up_blocks / out) —
+# verified against structure-true torch twins built from the reference's
+# own vendored blocks (tests/test_causal_decoder_parity.py).
+# ---------------------------------------------------------------------------
+
+
+def _tuplify_cfg(v, n):
+    return (v,) * n if isinstance(v, int) else tuple(v)
+
+
+def _map_vae_resblock(out, pt, pf, sd):
+    """MONAI-generative AEKL ResBlock -> flax ResnetBlock names."""
+    _map_groupnorm(out, f"{pt}.norm1", f"{pf}/norm1", sd)
+    _map_conv(out, f"{pt}.conv1", f"{pf}/conv1", sd)
+    _map_groupnorm(out, f"{pt}.norm2", f"{pf}/norm2", sd)
+    _map_conv(out, f"{pt}.conv2", f"{pf}/conv2", sd)
+    if f"{pt}.nin_shortcut.conv.weight" in sd:
+        _map_conv(out, f"{pt}.nin_shortcut", f"{pf}/skip", sd)
+
+
+def import_vae_decoder(
+    state_dict: Mapping[str, Any],
+    num_channels,
+    num_res_blocks,
+    with_decoder_nonlocal_attn: bool = False,
+) -> Dict:
+    """torch AutoencoderKL ``Decoder`` state_dict -> flax Decoder params.
+
+    Walks the flat ``blocks.{k}`` ModuleList in construction order:
+    conv_in, [mid ResBlock/Attention/ResBlock], per level (coarse-to-fine)
+    ResBlocks then an Upsample, final GroupNorm, conv_out.
+    """
+    sd = strip_ddp_prefix(state_dict)
+    out: Dict = {}
+    n = len(num_channels)
+    rev_res = list(reversed(_tuplify_cfg(num_res_blocks, n)))
+    k = 0
+    _map_conv(out, f"blocks.{k}", "conv_in", sd)
+    k += 1
+    if with_decoder_nonlocal_attn:
+        _map_vae_resblock(out, f"blocks.{k}", "mid_res_1", sd)
+        _map_attention_block(out, f"blocks.{k + 1}", "mid_attn", sd)
+        _map_vae_resblock(out, f"blocks.{k + 2}", "mid_res_2", sd)
+        k += 3
+    for i in range(n):
+        for j in range(rev_res[i]):
+            _map_vae_resblock(out, f"blocks.{k}", f"up_{i}_res_{j}", sd)
+            k += 1
+        if i != n - 1:
+            _map_conv(out, f"blocks.{k}.conv", f"up_{i}_us/conv", sd)
+            k += 1
+    _map_groupnorm(out, f"blocks.{k}", "out_norm", sd)
+    _map_conv(out, f"blocks.{k + 1}", "conv_out", sd)
+    return out
+
+
+def import_diffusion_decoder(
+    state_dict: Mapping[str, Any], num_levels: int, transformer_num_layers: int = 1
+) -> Dict:
+    """torch DiffusionModelDecoder (atten_decoder) state_dict -> flax params.
+
+    AttenUNet-family naming: conv_in, middle_block.{resnet_1,attention,
+    resnet_2}, up_blocks.{i}.{resnets,attentions,upsampler}, out.0/out.2.
+    """
+    sd = strip_ddp_prefix(state_dict)
+    out: Dict = {}
+    _map_conv(out, "conv_in", "conv_in", sd)
+    _map_resnet(out, "middle_block.resnet_1", "mid/resnet_1", sd)
+    if _has(sd, "middle_block.attention.transformer_blocks."):
+        _map_spatial_transformer(
+            out, "middle_block.attention", "mid/attention", sd, transformer_num_layers
+        )
+    elif _has(sd, "middle_block.attention."):
+        _map_attention_block(out, "middle_block.attention", "mid/attention", sd)
+    _map_resnet(out, "middle_block.resnet_2", "mid/resnet_2", sd)
+    for i in range(num_levels):
+        bt, bf = f"up_blocks.{i}", f"up_{i}"
+        j = 0
+        while _has(sd, f"{bt}.resnets.{j}."):
+            _map_resnet(out, f"{bt}.resnets.{j}", f"{bf}_resnet_{j}", sd)
+            j += 1
+        j = 0
+        while _has(sd, f"{bt}.attentions.{j}."):
+            pt, pf = f"{bt}.attentions.{j}", f"{bf}_attn_{j}"
+            if _has(sd, f"{pt}.transformer_blocks."):
+                _map_spatial_transformer(out, pt, pf, sd, transformer_num_layers)
+            else:
+                _map_attention_block(out, pt, pf, sd)
+            j += 1
+        if _has(sd, f"{bt}.upsampler.norm1"):
+            _map_resnet(out, f"{bt}.upsampler", f"{bf}_upsampler", sd)
+        elif _has(sd, f"{bt}.upsampler.conv"):
+            _map_conv(out, f"{bt}.upsampler.conv", f"{bf}_upsampler/conv", sd)
+    _map_groupnorm(out, "out.0", "out_norm", sd)
+    _map_conv(out, "out.2", "conv_out", sd)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # BMGAN (bl_methods/BMGAN/bmgan_model.py) — name-structured import from the
 # vendored torch Sequential layout. The reference's InstanceNorms are
 # affine=False (no parameters); our _InstanceNorm templates fill scale=1 /
