@@ -38,6 +38,46 @@ def _conv(spatial_dims, features, kernel=3, stride=1, name=None, dtype=jnp.float
     )
 
 
+class _CatConv(nn.Module):
+    """Convolution over the channel-concat of its inputs WITHOUT
+    materialising the concat: the kernel is sliced along Cin and the
+    partial convolutions summed (exact by linearity — the same treatment
+    as the flagship's skip fusion, blocks.PackedConv tuple input).
+
+    Parameter tree matches nn.Conv ((k..,Cin,Cout) 'kernel' + 'bias'), so
+    checkpoints and the torch importer are unaffected. The dense-block
+    concat chain was the dominant HBM temporary of the BMGAN generator.
+    """
+
+    spatial_dims: int
+    features: int
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, *parts) -> jax.Array:
+        cins = [p.shape[-1] for p in parts]
+        k = self.kernel
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k,) * self.spatial_dims + (sum(cins), self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        pad = [( (k - 1) // 2, (k - 1) // 2 )] * self.spatial_dims
+        dn = ("NDHWC", "DHWIO", "NDHWC") if self.spatial_dims == 3 else ("NHWC", "HWIO", "NHWC")
+        y = None
+        off = 0
+        for part, ci in zip(parts, cins):
+            wi = jax.lax.dynamic_slice_in_dim(w, off, ci, axis=self.spatial_dims)
+            yi = jax.lax.conv_general_dilated(
+                part.astype(self.dtype), wi.astype(self.dtype),
+                (1,) * self.spatial_dims, pad, dimension_numbers=dn,
+            )
+            y = yi if y is None else y + yi
+            off += ci
+        return y + b.astype(y.dtype)
+
+
 class _ResidualUnit(nn.Module):
     """MONAI ResidualUnit (monai.networks.blocks.convolutions semantics):
     ``subunits`` x (conv k3 -> InstanceNorm -> act) with the stride on the
@@ -62,36 +102,60 @@ class _ResidualUnit(nn.Module):
         return nn.leaky_relu(x, 0.2)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
+        # tuple input == channel-concat of the parts without materialising
+        # it: first conv and the residual conv slice their kernels (exact)
+        parts = tuple(x) if isinstance(x, (tuple, list)) else None
+        if parts is not None:
+            assert self.stride == 1, "tuple input only on stride-1 dense units"
         h = x
         stride = self.stride
         for i in range(max(1, self.subunits)):
             cname, nname = ("conv", "norm") if i == 0 else (f"conv_{i}", f"norm_{i}")
-            h = _conv(self.spatial_dims, self.features, 3, stride, cname, self.dtype)(h)
+            if i == 0 and parts is not None:
+                h = _CatConv(self.spatial_dims, self.features, 3, dtype=self.dtype, name=cname)(*parts)
+            else:
+                h = _conv(self.spatial_dims, self.features, 3, stride, cname, self.dtype)(h)
             h = _InstanceNorm(name=nname)(h)
             h = self._apply_act(h, i)
             stride = 1
-        if self.stride != 1 or x.shape[-1] != self.features:
+        in_ch = sum(p.shape[-1] for p in parts) if parts is not None else x.shape[-1]
+        if self.stride != 1 or in_ch != self.features:
             k = 1 if self.stride == 1 else 3
-            x = _conv(self.spatial_dims, self.features, k, self.stride, "skip", self.dtype)(x)
+            if parts is not None:
+                x = _CatConv(self.spatial_dims, self.features, k, dtype=self.dtype, name="skip")(*parts)
+            else:
+                x = _conv(self.spatial_dims, self.features, k, self.stride, "skip", self.dtype)(x)
+        elif parts is not None:
+            x = jnp.concatenate(parts, axis=-1)  # identity skip: concat unavoidable
         return x + h
 
 
 class _DenseBlock(nn.Module):
-    """Two dense steps: unit -> concat(input, out) -> 3x3 conv fuse -> IN -> LReLU."""
+    """Two dense steps: unit -> concat(input, out) -> 3x3 conv fuse -> IN -> LReLU.
+
+    The concat never materialises: the fuse conv consumes (input..., unit
+    output) as kernel-sliced parts (_CatConv), and a tuple input threads the
+    up-path skip concat through the first unit the same way — the dense
+    chain's concat temporaries were the generator's dominant HBM traffic."""
 
     spatial_dims: int
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         for i in range(2):
-            y = _ResidualUnit(self.spatial_dims, self.features, dtype=self.dtype, name=f"unit_{i}")(x)
-            x = jnp.concatenate([x, y], axis=-1)
-            x = _conv(self.spatial_dims, self.features, 3, 1, f"fuse_{i}", self.dtype)(x)
+            y = _ResidualUnit(self.spatial_dims, self.features, dtype=self.dtype, name=f"unit_{i}")(
+                parts if len(parts) > 1 else parts[0]
+            )
+            x = _CatConv(self.spatial_dims, self.features, 3, dtype=self.dtype, name=f"fuse_{i}")(
+                *parts, y
+            )
             x = _InstanceNorm(name=f"norm_{i}")(x)
             x = nn.leaky_relu(x, 0.2)
+            parts = (x,)
         return x
 
 
@@ -134,8 +198,8 @@ class DenseUNetGenerator(nn.Module):
         h = _DenseBlock(sd, self.middle_channels, dtype=self.dtype, name="middle")(h)
 
         for i, c in enumerate(self.up_channels):
-            h = jnp.concatenate([h, skips[-1 - i]], axis=-1)
-            h = _DenseBlock(sd, c, dtype=self.dtype, name=f"up_dense_{i}")(h)
+            # skip concat threads into the dense block as kernel-sliced parts
+            h = _DenseBlock(sd, c, dtype=self.dtype, name=f"up_dense_{i}")((h, skips[-1 - i]))
             h = nn.ConvTranspose(
                 c,
                 kernel_size=(4,) * sd,

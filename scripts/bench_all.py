@@ -92,21 +92,22 @@ def bench_causal(rng):
 
     cfg = common.load_config(None, "training_causal.json")
     enc, t1_dec, pet_dec, disc, perc = causal_task.build_models(cfg, n_covariates=5, dtype=jnp.bfloat16)
-    shape = (1, *VOL, 1)
+    b = 2  # batch 2 fits since the (2,2,1)-packed decoder finest levels (round 2)
+    shape = (b, *VOL, 1)
     state = causal_task.init_state(
-        jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, cfg["training"], shape, n_covariates=5
+        jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, cfg["training"], (1, *VOL, 1), n_covariates=5
     )
     batch = {
         "t1": _rand(rng, shape),
         "pet": _rand(rng, shape),
-        "info": _rand(rng, (1, 1, 5)),
+        "info": _rand(rng, (b, 1, 5)),
     }
     step = jax.jit(
         causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, cfg["training"]),
         donate_argnums=0,
     )
     dt = _measure(step, state, (batch, jax.random.key(1)), lambda m: float(m["rec_pet_loss"]))
-    return "causal_synthesis_train_throughput", 1 / dt, 0.8
+    return "causal_synthesis_train_throughput", b / dt, 0.8
 
 
 def bench_classifier(rng):
