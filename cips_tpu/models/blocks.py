@@ -157,58 +157,57 @@ class GroupNorm(nn.Module):
     phases: int = PHASES
     dtype: Dtype = jnp.float32
 
-    @staticmethod
-    def _norm_part(x, p, g, gs, scale, bias, epsilon):
-        # Lane-friendly statistics: reduce over the flattened spatial axis
-        # ONLY (per-channel partials keep the 128-lane minor dimension
-        # intact), then combine the tiny (B, P*C) partials into (B, G) group
-        # moments. Mathematically identical to reducing per group directly;
-        # the naive (B,S,P,G,gs) reduction ran at ~15% of HBM bandwidth.
-        b = x.shape[0]
-        pc = x.shape[-1]
-        c = pc // p
-        xr = x.reshape(b, -1, pc)
-        x32 = xr.astype(jnp.float32)
-        s1 = checkpoint_name(jnp.mean(x32, axis=1), GN_STAT_NAME)  # (B, P*C)
-        s2 = checkpoint_name(jnp.mean(jnp.square(x32), axis=1), GN_STAT_NAME)
-        mean_g = s1.reshape(b, p, g, gs).mean(axis=(1, 3))  # (B, G)
-        meansq_g = s2.reshape(b, p, g, gs).mean(axis=(1, 3))
-        inv = jax.lax.rsqrt(jnp.maximum(meansq_g - jnp.square(mean_g), 0.0) + epsilon)
-        w_c = (inv[:, :, None] * scale.reshape(g, gs)[None]).reshape(b, c)  # (B, C) fp32
-        off_c = (
-            bias.reshape(g, gs)[None]
-            - mean_g[:, :, None] * inv[:, :, None] * scale.reshape(g, gs)[None]
-        ).reshape(b, c)
-        w_pc = jnp.tile(w_c, (1, p))[:, None, :]
-        off_pc = jnp.tile(off_c, (1, p))[:, None, :]
-        y = xr * w_pc.astype(x.dtype) + off_pc.astype(x.dtype)
-        return y.reshape(x.shape)
-
     @nn.compact
     def __call__(self, x):
         # A tuple input is the channel-concat of its parts, kept apart so the
-        # concat is never materialised (the up-path skip fusion). Exact when
-        # no group straddles a part boundary — asserted below.
+        # concat is never materialised (the up-path skip fusion). Exact for
+        # ANY part boundary: per-channel fp32 partial moments are reduced per
+        # part (lane-preserving — the naive (B,S,P,G,gs) reduction ran at
+        # ~15% of HBM bandwidth), the tiny (B, C) channel stats concatenate
+        # across parts, and the (B, G) group moments combine from those —
+        # mathematically identical to GN on the materialised concat even
+        # when a group straddles the boundary (e.g. the flagship's
+        # up_3/resnet_0 with 32+16 channels in groups of 3, whose interleave
+        # fallback was the largest batch-12 HBM allocation).
         parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         p = self.phases if self.packed else 1
         cs = [part.shape[-1] // p for part in parts]
         c = sum(cs)
         g = self.num_groups
         gs = c // g
+        if c % g:
+            raise ValueError(f"channels {c} not divisible by num_groups {g}")
         scale, bias = _GNScaleBias(c, name="GroupNorm_0")()
+
+        b = parts[0].shape[0]
+        ch_s1, ch_s2 = [], []
+        for part, ci in zip(parts, cs):
+            xr = part.reshape(b, -1, p * ci)
+            x32 = xr.astype(jnp.float32)
+            s1 = checkpoint_name(jnp.mean(x32, axis=1), GN_STAT_NAME)  # (B, P*ci)
+            s2 = checkpoint_name(jnp.mean(jnp.square(x32), axis=1), GN_STAT_NAME)
+            ch_s1.append(s1.reshape(b, p, ci).mean(axis=1))  # (B, ci)
+            ch_s2.append(s2.reshape(b, p, ci).mean(axis=1))
+        s1c = ch_s1[0] if len(ch_s1) == 1 else jnp.concatenate(ch_s1, axis=-1)  # (B, C) tiny
+        s2c = ch_s2[0] if len(ch_s2) == 1 else jnp.concatenate(ch_s2, axis=-1)
+        mean_g = s1c.reshape(b, g, gs).mean(axis=2)  # (B, G)
+        meansq_g = s2c.reshape(b, g, gs).mean(axis=2)
+        inv = jax.lax.rsqrt(jnp.maximum(meansq_g - jnp.square(mean_g), 0.0) + self.epsilon)
+        w_c = (inv[:, :, None] * scale.reshape(g, gs)[None]).reshape(b, c)  # (B, C) fp32
+        off_c = (
+            bias.reshape(g, gs)[None]
+            - mean_g[:, :, None] * inv[:, :, None] * scale.reshape(g, gs)[None]
+        ).reshape(b, c)
 
         outs, off = [], 0
         for part, ci in zip(parts, cs):
-            if ci % gs:
-                raise ValueError("concat part boundary must align with GN groups")
-            outs.append(
-                self._norm_part(
-                    part, p, ci // gs, gs,
-                    jax.lax.dynamic_slice_in_dim(scale, off, ci),
-                    jax.lax.dynamic_slice_in_dim(bias, off, ci),
-                    self.epsilon,
-                )
-            )
+            wi = jax.lax.dynamic_slice_in_dim(w_c, off, ci, axis=1)
+            oi = jax.lax.dynamic_slice_in_dim(off_c, off, ci, axis=1)
+            w_pc = jnp.tile(wi, (1, p))[:, None, :]
+            off_pc = jnp.tile(oi, (1, p))[:, None, :]
+            xr = part.reshape(b, -1, p * ci)
+            y = xr * w_pc.astype(part.dtype) + off_pc.astype(part.dtype)
+            outs.append(y.reshape(part.shape))
             off += ci
         return outs[0] if not isinstance(x, (tuple, list)) else tuple(outs)
 
@@ -951,24 +950,14 @@ class UpBlock(nn.Module):
                 dtype=self.dtype,
                 name=f"resnet_{i}",
             )
-            p = phase_count(self.factors)
-            in_ch = (h.shape[-1] + res.shape[-1]) // p
-            gs = in_ch // self.norm_num_groups if in_ch % self.norm_num_groups == 0 else 0
-            aligned = gs > 0 and (h.shape[-1] // p) % gs == 0
-            if self.factors is not None and aligned:
+            if self.factors is not None:
                 # dual-input form: the resnet consumes concat(h, res) without
                 # materialising the (phase-interleaved) concat — its 2C-wide
-                # temporaries were the dominant HBM allocations at batch > 8.
-                # Exact only when no GN group straddles the h/res boundary.
+                # temporaries (and the 2x-padded layout copies the 6-D
+                # interleave dragged in) were the dominant batch>8 HBM
+                # allocations. Exact for any GN group boundary (the packed
+                # GroupNorm combines per-channel stats across parts).
                 h = block(h, res)
-            elif self.factors is not None:
-                c_h = h.shape[-1] // p
-                c_r = res.shape[-1] // p
-                hr = h.reshape(*h.shape[:-1], p, c_h)
-                rr = res.reshape(*res.shape[:-1], p, c_r)
-                h = block(
-                    jnp.concatenate([hr, rr], axis=-1).reshape(*h.shape[:-1], p * (c_h + c_r))
-                )
             else:
                 h = block(jnp.concatenate([h, res], axis=-1))
             if self.attention_mode == "self":
