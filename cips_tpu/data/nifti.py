@@ -87,7 +87,10 @@ def read(path: str) -> NiftiImage:
         ],
         dtype=np.float64,
     )
+    qform_code = struct.unpack_from(endian + "h", hdr, 252)[0]
     sform_code = struct.unpack_from(endian + "h", hdr, 254)[0]
+    quatern = struct.unpack_from(endian + "3f", hdr, 256)  # b, c, d
+    qoffset = struct.unpack_from(endian + "3f", hdr, 268)  # x, y, z
 
     if datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported NIfTI datatype code {datatype}")
@@ -106,6 +109,24 @@ def read(path: str) -> NiftiImage:
     affine = np.eye(4, dtype=np.float64)
     if sform_code > 0:
         affine[:3, :] = srow
+    elif qform_code > 0:
+        # NIfTI-1 qform: unit quaternion (a, b, c, d) with a derived, qfac
+        # in pixdim[0] flipping the k axis (real ADNI exports frequently
+        # carry qform-only oblique geometry)
+        b, c, d = (float(q) for q in quatern)
+        a_sq = max(0.0, 1.0 - (b * b + c * c + d * d))
+        a = float(np.sqrt(a_sq))
+        rot = np.array(
+            [
+                [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+                [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+                [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+            ],
+            dtype=np.float64,
+        )
+        qfac = -1.0 if pixdim[0] < 0 else 1.0
+        affine[:3, :3] = rot @ np.diag([pixdim[1], pixdim[2], qfac * pixdim[3]])
+        affine[:3, 3] = qoffset
     else:
         affine[0, 0], affine[1, 1], affine[2, 2] = pixdim[1], pixdim[2], pixdim[3]
     spacing = (float(pixdim[1] or 1.0), float(pixdim[2] or 1.0), float(pixdim[3] or 1.0))
@@ -144,7 +165,7 @@ def write(path: str, img: NiftiImage | np.ndarray) -> None:
     struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
     struct.pack_into("<f", hdr, 112, 1.0)  # scl_slope
     struct.pack_into("<f", hdr, 116, 0.0)  # scl_inter
-    struct.pack_into("<h", hdr, 252, 1)  # qform_code
+    struct.pack_into("<h", hdr, 252, 0)  # qform_code: unset (quaternion not encoded)
     struct.pack_into("<h", hdr, 254, 1)  # sform_code
     affine = np.asarray(img.affine, dtype=np.float64)
     struct.pack_into("<4f", hdr, 280, *affine[0, :])

@@ -77,11 +77,29 @@ def register_pet_to_t1(
                 continue
             pet_img = nifti.read(pet_path)
             t1_img = nifti.read(t1_path)
-            result = register_rigid(
-                jnp.asarray(pet_img.data, jnp.float32),
-                jnp.asarray(t1_img.data, jnp.float32),
-                metric=metric,
+            # real scanner geometry (anisotropic / oblique / shifted FOV)
+            # demands PHYSICAL-space rigid with header initialisation, like
+            # ANTs (reg_to_T1.py:62-99); identical unit affines fall back to
+            # plain voxel-space registration
+            trivial = np.allclose(pet_img.affine, np.eye(4)) and np.allclose(
+                t1_img.affine, np.eye(4)
             )
+            if trivial:
+                result = register_rigid(
+                    jnp.asarray(pet_img.data, jnp.float32),
+                    jnp.asarray(t1_img.data, jnp.float32),
+                    metric=metric,
+                )
+            else:
+                from cips_tpu.ops.registration import register_rigid_physical
+
+                result = register_rigid_physical(
+                    jnp.asarray(pet_img.data, jnp.float32),
+                    jnp.asarray(t1_img.data, jnp.float32),
+                    pet_img.affine,
+                    t1_img.affine,
+                    metric=metric,
+                )
             warped = apply_transform(
                 jnp.asarray(pet_img.data, jnp.float32), result.matrix, out_shape=t1_img.data.shape
             )

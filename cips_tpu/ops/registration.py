@@ -20,6 +20,7 @@ from typing import Literal, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from cips_tpu.ops.resample import affine_warp, resize_trilinear, rigid_matrix
@@ -99,12 +100,14 @@ class RegistrationResult:
     loss: float
 
 
-def _register_level(moving, fixed, params0, metric: str, iters: int, lr: float, mask=None):
+def _register_level(moving, fixed, params0, metric: str, iters: int, lr: float, mask=None, mat_fn=None):
     center = (jnp.asarray(fixed.shape, jnp.float32) - 1.0) / 2.0
     loss_fn = ncc_loss if metric == "ncc" else mutual_information_loss
+    if mat_fn is None:
+        mat_fn = lambda p: rigid_matrix(p, center)  # noqa: E731 — voxel-space default
 
     def objective(p):
-        mat = rigid_matrix(p, center)
+        mat = mat_fn(p)
         warped = affine_warp(moving, mat, out_shape=fixed.shape)
         return loss_fn(warped, fixed, mask=mask)
 
@@ -211,6 +214,114 @@ def apply_transform(
 ) -> jax.Array:
     """Apply a registration result to an image or label volume."""
     return affine_warp(img, matrix, out_shape=out_shape, nearest=nearest)
+
+
+# ---------------------------------------------------------------------------
+# physical-space registration (real scanner geometry)
+# ---------------------------------------------------------------------------
+
+# arrays are (z, y, x) while NIfTI affines map (i=x, j=y, k=z) voxel indices
+# to physical mm — this permutation converts an xyz affine to zyx index order
+_PERM_ZYX = np.array(
+    [[0, 0, 1, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 0, 1]], dtype=np.float64
+)
+
+
+def _zyx_affine(affine_xyz: np.ndarray) -> np.ndarray:
+    """4x4 NIfTI (xyz-index -> physical xyz) -> (zyx-index -> physical zyx)."""
+    return _PERM_ZYX @ np.asarray(affine_xyz, np.float64) @ _PERM_ZYX
+
+
+def _homog(m34: jax.Array) -> jax.Array:
+    return jnp.concatenate([m34, jnp.asarray([[0.0, 0.0, 0.0, 1.0]], m34.dtype)], axis=0)
+
+
+def _physical_pullback(p, am_inv_zyx, af_zyx, center_phys_zyx):
+    """(6,) physical rigid params -> (3,4) voxel pull-back matrix.
+
+    The sampled coordinate chain is  v_moving = A_m^-1 · R(p) · A_f · v_fixed
+    with R a rigid transform about the fixed volume's physical center —
+    rotations in radians, translations in mm, exactly ANTs' rigid stage
+    parameterisation (reg_to_T1.py:62-99 uses type_of_transform='Rigid')."""
+    r = _homog(rigid_matrix(p, center_phys_zyx))
+    m = am_inv_zyx @ r @ af_zyx
+    return m[:3]
+
+
+def register_rigid_physical(
+    moving: jax.Array,
+    fixed: jax.Array,
+    moving_affine: np.ndarray,
+    fixed_affine: np.ndarray,
+    metric: Literal["ncc", "mi"] = "ncc",
+    pyramid: Sequence[int] = (4, 2, 1),
+    iters_per_level: int = 100,
+    lr: float = 0.05,
+    mask: jax.Array | None = None,
+    n_starts: int = 1,
+) -> RegistrationResult:
+    """6-DoF registration in PHYSICAL space using the NIfTI affines.
+
+    Real ADNI geometry — anisotropic spacings (e.g. 2mm PET slices vs 1mm
+    T1), oblique direction cosines, shifted FOV origins — makes a rigid
+    transform in voxel-index space unable to represent the true physical
+    alignment. Here the scanner affines provide the initial alignment
+    (params = 0 composes A_m^-1 · A_f, i.e. header-based resampling) and
+    the optimiser refines a rigid motion in mm/radians about the fixed
+    volume's physical center, mirroring ANTs' rigid stage
+    (`reg_to_T1.py:62-99`). Returns a RegistrationResult whose ``matrix``
+    pulls the ORIGINAL moving grid back onto the fixed grid (use with
+    `apply_transform(moving, result.matrix, out_shape=fixed.shape)`);
+    ``params`` are (rz, ry, rx) radians + (tz, ty, tx) mm.
+    """
+    moving = moving.astype(jnp.float32)
+    fixed = fixed.astype(jnp.float32)
+    af_full = _zyx_affine(fixed_affine)
+    am_full = _zyx_affine(moving_affine)
+    center_vox = (np.asarray(fixed.shape, np.float64) - 1.0) / 2.0
+    center_phys = jnp.asarray(af_full @ np.append(center_vox, 1.0), jnp.float32)[:3]
+
+    def level_affines(shape_m, shape_f):
+        s_m = np.append(np.asarray(moving.shape, np.float64) / np.asarray(shape_m, np.float64), 1.0)
+        s_f = np.append(np.asarray(fixed.shape, np.float64) / np.asarray(shape_f, np.float64), 1.0)
+        af_l = af_full @ np.diag(s_f)
+        am_inv_l = np.linalg.inv(am_full @ np.diag(s_m))
+        return jnp.asarray(am_inv_l, jnp.float32), jnp.asarray(af_l, jnp.float32)
+
+    def level_mask(shape_f):
+        if mask is None:
+            return None
+        return (resize_trilinear(mask.astype(jnp.float32), shape_f) > 0.5).astype(jnp.float32)
+
+    params = jnp.zeros((6,), jnp.float32)
+    loss = jnp.float32(0.0)
+    for i, factor in enumerate(pyramid):
+        shape_m = tuple(max(4, s // factor) for s in moving.shape)
+        shape_f = tuple(max(4, s // factor) for s in fixed.shape)
+        mv = resize_trilinear(moving, shape_m)
+        fx = resize_trilinear(fixed, shape_f)
+        mk = level_mask(shape_f)
+        am_inv_l, af_l = level_affines(shape_m, shape_f)
+        mat_fn = functools.partial(
+            _physical_pullback, am_inv_zyx=am_inv_l, af_zyx=af_l, center_phys_zyx=center_phys
+        )
+        level = functools.partial(
+            _register_level, metric=metric, iters=iters_per_level, mask=mk, mat_fn=mat_fn
+        )
+        if i == 0 and n_starts > 1:
+            seeds = _rotation_seeds(n_starts)
+            cands, losses = jax.jit(
+                jax.vmap(functools.partial(level, lr=lr), in_axes=(None, None, 0))
+            )(mv, fx, seeds)
+            best = jnp.argmin(losses)
+            params, loss = cands[best], losses[best]
+            continue
+        # physical params (mm / radians) carry across levels unchanged
+        params, loss = jax.jit(functools.partial(level, lr=lr / (i + 1)))(mv, fx, params)
+
+    am_inv = jnp.asarray(np.linalg.inv(am_full), jnp.float32)
+    matrix = _physical_pullback(params, am_inv, jnp.asarray(af_full, jnp.float32), center_phys)
+    return RegistrationResult(params=params, matrix=matrix, loss=float(loss))
 
 
 def n4_bias_correct(
