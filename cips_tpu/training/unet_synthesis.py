@@ -118,11 +118,14 @@ def make_train_step(
     train_cfg: Mapping[str, Any],
     use_condition: bool = True,
     exact_d_fake: Optional[bool] = None,
+    split_d: Optional[bool] = None,
 ) -> Callable:
     pw = float(train_cfg.get("perceptual_weight", 0.0))
     aw = float(train_cfg.get("adv_weight", 0.1))
     if exact_d_fake is None:
         exact_d_fake = bool(train_cfg.get("exact_d_fake", False))
+    if split_d is None:
+        split_d = bool(train_cfg.get("split_d", False))
 
     def train_step(state: GANState, batch: Mapping[str, jax.Array]) -> Tuple[GANState, Dict]:
         t1 = batch["t1"]
@@ -165,11 +168,17 @@ def make_train_step(
                 fake = jax.lax.stop_gradient(aux["fake"])
 
             def d_loss_fn(d_params):
-                # one batched D pass over [fake; real] — PatchGAN is
-                # per-sample (convs + InstanceNorm), so batching fake/real
-                # together equals the reference's two passes (:175-184)
-                logits = discriminator.apply(d_params, jnp.concatenate([fake, pet], axis=0))[-1]
-                logits_fake, logits_real = jnp.split(logits, 2, axis=0)
+                # PatchGAN is per-sample (convs + InstanceNorm), so batching
+                # fake/real together equals the reference's two passes
+                # (:175-184). ``split_d`` runs them separately instead —
+                # identical math, half the transient D activation peak (the
+                # enabler for batch 12 at full volume).
+                if split_d:
+                    logits_fake = discriminator.apply(d_params, fake)[-1]
+                    logits_real = discriminator.apply(d_params, pet)[-1]
+                else:
+                    logits = discriminator.apply(d_params, jnp.concatenate([fake, pet], axis=0))[-1]
+                    logits_fake, logits_real = jnp.split(logits, 2, axis=0)
                 return lsgan_discriminator_loss(logits_fake, logits_real)
 
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d.params)

@@ -26,7 +26,7 @@ from __graft_entry__ import FLAGSHIP_CFG, N_COVARIATES, TRAIN_CFG
 from cips_tpu.training.unet_synthesis import build_models, init_state, make_train_step
 
 
-def run(policy, batch):
+def run(policy, batch, split_d=False):
     shape = (batch, 96, 128, 96, 1)
     g, d, p = build_models(
         FLAGSHIP_CFG, n_covariates=N_COVARIATES, dtype=jnp.bfloat16, remat_policy=policy
@@ -40,7 +40,7 @@ def run(policy, batch):
         "pet": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
         "info": jnp.asarray(rng.random((batch, 1, N_COVARIATES), np.float32), jnp.bfloat16),
     }
-    step = jax.jit(make_train_step(g, d, p, TRAIN_CFG), donate_argnums=0)
+    step = jax.jit(make_train_step(g, d, p, TRAIN_CFG, split_d=split_d), donate_argnums=0)
     state, metrics = step(state, batch_data)
     float(metrics["g_loss"])
     state, metrics = step(state, batch_data)
@@ -60,7 +60,7 @@ def run(policy, batch):
 
 if __name__ == "__main__":
     if len(sys.argv) > 1:
-        run(sys.argv[1], int(sys.argv[2]))
+        run(sys.argv[1], int(sys.argv[2]), split_d="split" in sys.argv)
     else:
         for policy, batch in (("conv", 8), ("conv2", 8), ("conv2", 12), ("conv2", 16), ("conv", 12)):
             try:
