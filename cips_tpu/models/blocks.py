@@ -61,6 +61,9 @@ CONV_NOSAVE_NAME = "resconv_padded"
 # HBM of "conv"; the backward then re-runs conv1/skip once per block) —
 # the trade that unlocks batch 12/16 on the flagship.
 CONV2_SAVE_NAME = "resconv2"
+# 1x1 skip-projection outputs: as LARGE as a conv2 output but 1/27 of a k3
+# conv to recompute — the "conv12" policy drops exactly these saves.
+CONV_SKIP_SAVE_NAME = "resconvskip"
 # GroupNorm statistics: (B, G)-shaped — saving them is ~free and spares the
 # backward recompute its full-tensor reduction passes.
 GN_STAT_NAME = "gnstat"
@@ -71,11 +74,19 @@ def conv_save_policy(mode: str = "conv"):
 
     "conv"     — save every packed conv output (conv1/conv2/skip): backward
                  recomputes only the elementwise GN/SiLU chain.
+    "conv12"   — save conv1+conv2 but RECOMPUTE the 1x1 skip projections:
+                 their saved outputs are full-size tensors but cost 1/27 of
+                 a k3 conv to re-run — near-"conv" speed at ~2/3 the saved
+                 HBM (the batch-16 enabler without conv2's conv1 re-runs).
     "conv2"    — save only each block's final conv output: half the saved
                  set; backward re-runs conv1/skip once per block.
     "conv_all" — additionally save unpacked (padded-layout) conv outputs.
     """
     if mode == "conv":
+        return jax.checkpoint_policies.save_only_these_names(
+            CONV_SAVE_NAME, CONV2_SAVE_NAME, CONV_SKIP_SAVE_NAME, GN_STAT_NAME
+        )
+    if mode == "conv12":
         return jax.checkpoint_policies.save_only_these_names(
             CONV_SAVE_NAME, CONV2_SAVE_NAME, GN_STAT_NAME
         )
@@ -83,7 +94,7 @@ def conv_save_policy(mode: str = "conv"):
         return jax.checkpoint_policies.save_only_these_names(CONV2_SAVE_NAME, GN_STAT_NAME)
     if mode == "conv_all":
         return jax.checkpoint_policies.save_only_these_names(
-            CONV_SAVE_NAME, CONV2_SAVE_NAME, CONV_NOSAVE_NAME, GN_STAT_NAME
+            CONV_SAVE_NAME, CONV2_SAVE_NAME, CONV_SKIP_SAVE_NAME, CONV_NOSAVE_NAME, GN_STAT_NAME
         )
     raise ValueError(f"unknown remat policy mode {mode!r}")
 
@@ -402,7 +413,7 @@ class ResnetBlock(nn.Module):
             if out_ch != in_ch:
                 xs = checkpoint_name(
                     PackedConv(out_ch, 1, factors=f_out, dtype=self.dtype, name="skip")((x, x2)),
-                    CONV_SAVE_NAME,
+                    CONV_SKIP_SAVE_NAME,
                 )
             else:  # identity skip: the interleaved concat is unavoidable
                 c1, c2 = x.shape[-1] // p, x2.shape[-1] // p
@@ -442,7 +453,11 @@ class ResnetBlock(nn.Module):
                 PackedConv(
                     out_ch, 3, factors=f_out, tiled_input=fuse_tile, dtype=self.dtype, name="conv1"
                 )(h),
-                CONV_SAVE_NAME,
+                # the fold-tile conv1 issues P-times FEWER MACs than a dense
+                # packed conv (ops/s2d.packed_conv_tiled) yet its output is a
+                # full P*C-channel level-0 tensor — cheap to recompute, huge
+                # to save: it joins the "conv12"-droppable class
+                CONV_SKIP_SAVE_NAME if fuse_tile else CONV_SAVE_NAME,
             )
             h = GroupNorm(
                 self.norm_num_groups, self.norm_eps, packed=True, phases=phase_count(f_out), name="norm2"
@@ -457,7 +472,7 @@ class ResnetBlock(nn.Module):
                     PackedConv(
                         out_ch, 1, factors=f_out, tiled_input=fuse_tile, dtype=self.dtype, name="skip"
                     )(x),
-                    CONV_SAVE_NAME,
+                    CONV_SKIP_SAVE_NAME,
                 )
             elif fuse_tile:
                 # identity skip: the tile materialises only at the residual add

@@ -20,10 +20,12 @@ Faithful semantics (MONAI generative losses/perceptual.py + richzhang LPIPS):
     three axes, a ``fake_3d_ratio`` (default 0.5) subset per axis, mean over
     slices, and the three axis losses SUMMED.
 
-Deviation (documented): MONAI samples the slice subset with torch.randperm
-every call; this implementation takes the deterministic every-k-th-slice
-subset with k = round(1 / fake_3d_ratio) so the loss is a pure function fit
-for jit (same expectation over a homogeneous stack, no rng threading).
+Slice subset: MONAI samples it with torch.randperm every call. By default
+this implementation takes the deterministic every-k-th-slice subset with
+k = round(1 / fake_3d_ratio) (pure function, no rng threading; same
+expectation over a homogeneous stack). Passing ``rng`` to ``__call__``
+restores MONAI's random-subset semantics exactly (randperm over the folded
+batch x slice axis) while staying jit-compatible.
 
 Pretrained weights cannot be downloaded in this environment (zero egress).
 The architecture + parameter naming exactly mirror the torch originals, so
@@ -218,7 +220,12 @@ class PerceptualLoss(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
+    def __call__(self, pred: jax.Array, target: jax.Array, rng: jax.Array | None = None) -> jax.Array:
+        """``rng``: optional PRNG key enabling MONAI's per-call RANDOM slice
+        subset (randperm over the folded batchxslice axis, size
+        ``int(m * fake_3d_ratio)``) — jit-compatible (static sizes, gather
+        indices). Without it the subset is the deterministic every-k-th
+        slice (same expectation over a homogeneous stack, pure function)."""
         lpips = LPIPS(network_type=self.network_type, dtype=self.dtype, name="lpips")
         if self.spatial_dims == 2:
             return jnp.mean(lpips(pred, target))
@@ -228,9 +235,24 @@ class PerceptualLoss(nn.Module):
                 "part of the reference workloads"
             )
 
-        s = max(1, round(1.0 / self.fake_3d_ratio))
         n, d, h, w, c = pred.shape
         total = jnp.float32(0.0)
+        if rng is not None:
+            keys = jax.random.split(rng, 3)
+            orders = ((0, 1, 2, 3, 4), (0, 2, 1, 3, 4), (0, 3, 1, 2, 4))
+            for key, order in zip(keys, orders):
+                pa = pred.transpose(order)
+                ta = target.transpose(order)
+                sh, sw = pa.shape[2], pa.shape[3]
+                pa = pa.reshape(-1, sh, sw, c)
+                ta = ta.reshape(-1, sh, sw, c)
+                m = pa.shape[0]
+                keep = max(1, int(m * self.fake_3d_ratio))
+                idx = jax.random.choice(key, m, (keep,), replace=False)
+                total = total + jnp.mean(lpips(jnp.take(pa, idx, 0), jnp.take(ta, idx, 0)))
+            return total
+
+        s = max(1, round(1.0 / self.fake_3d_ratio))
         # one batched 2-D LPIPS call per axis; slices fold into batch
         views = (
             (pred[:, ::s], target[:, ::s], (h, w)),

@@ -198,6 +198,34 @@ def test_perceptual_init_matches_npz_tree(tmp_path):
         assert shapes_init[jax.tree_util.keystr(k)] == v.shape
 
 
+def test_perceptual_random_subset_mode():
+    """rng-threaded MONAI randperm semantics: ratio 1.0 equals the
+    deterministic subset exactly (both = all slices); at ratio 0.5 the
+    per-key spread quantifies the subset-sampling noise and stays near the
+    deterministic value (jit-compatible: gather indices, static sizes)."""
+    rng = np.random.default_rng(4)
+    # 32^3: alex's tap chain (k11 s4 conv + three pools) needs >= ~32 px
+    # slices for non-empty deep feature maps
+    x = jnp.asarray(rng.random((1, 32, 32, 32, 1), np.float32))
+    y = jnp.asarray(rng.random((1, 32, 32, 32, 1), np.float32))
+
+    full = PerceptualLoss(spatial_dims=3, network_type="alex", fake_3d_ratio=1.0)
+    params = full.init(jax.random.key(0), x, x)
+    det = float(full.apply(params, x, y))
+    rnd = float(full.apply(params, x, y, rng=jax.random.key(1)))
+    np.testing.assert_allclose(rnd, det, rtol=1e-5)
+
+    half = PerceptualLoss(spatial_dims=3, network_type="alex", fake_3d_ratio=0.5)
+    params = half.init(jax.random.key(0), x, x)
+    det = float(half.apply(params, x, y))
+    apply = jax.jit(lambda k: half.apply(params, x, y, rng=k))
+    vals = [float(apply(jax.random.key(i))) for i in range(4)]
+    assert len({round(v, 8) for v in vals}) > 1  # genuinely random subsets
+    spread = (max(vals) - min(vals)) / det
+    assert spread < 0.5, (vals, det)
+    assert abs(np.mean(vals) - det) / det < 0.25, (np.mean(vals), det)
+
+
 def test_perceptual_grad_flows():
     """The loss is differentiable w.r.t. the prediction (it feeds generator
     training at weight 8 in BMGAN and 0.02 in the causal trainer)."""
