@@ -57,9 +57,13 @@ def bench_flagship(rng):
     from __graft_entry__ import FLAGSHIP_CFG, N_COVARIATES, TRAIN_CFG
     from cips_tpu.training.unet_synthesis import build_models, init_state, make_train_step
 
-    batch = 8
+    # conv12 save policy (skip/tiled-conv1 recomputed) fits batch 16 — the
+    # round-3 throughput optimum (BENCH_NOTES.md round-3 log)
+    batch = 16
     shape = (batch, *VOL, 1)
-    g, d, p = build_models(FLAGSHIP_CFG, n_covariates=N_COVARIATES, dtype=jnp.bfloat16)
+    g, d, p = build_models(
+        FLAGSHIP_CFG, n_covariates=N_COVARIATES, dtype=jnp.bfloat16, remat_policy="conv12"
+    )
     state = init_state(
         jax.random.key(0), g, d, p, TRAIN_CFG, batch_shape=(1,) + shape[1:], n_covariates=N_COVARIATES
     )
