@@ -113,6 +113,7 @@ class Decoder(nn.Module):
     with_encoder_nonlocal_attn: bool = False  # config parity; encoder-side flag
     with_decoder_nonlocal_attn: bool = False
     remat: bool = False  # jax.checkpoint resnet stages
+    remat_policy: str = "conv"  # see models/blocks.conv_save_policy
     s2d: bool = False  # space-to-depth finest level (exact)
     dtype: jnp.dtype = jnp.float32
 
@@ -122,7 +123,7 @@ class Decoder(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         rev_channels = list(reversed(self.num_channels))
         rev_res = list(reversed(res_blocks))
-        res_cls = nn.remat(ResnetBlock, policy=_conv_save_policy()) if self.remat else ResnetBlock
+        res_cls = nn.remat(ResnetBlock, policy=_conv_save_policy(self.remat_policy)) if self.remat else ResnetBlock
 
         h = conv(rev_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(z)
         if self.with_decoder_nonlocal_attn:
@@ -249,8 +250,8 @@ class AutoencoderKL(nn.Module):
         return self.decode(z), mu, sigma
 
 
-def _conv_save_policy():
-    """save-conv-outputs + GN-stats checkpoint policy (see models/blocks.py)."""
+def _conv_save_policy(mode: str = "conv"):
+    """named conv-save checkpoint policy (see models/blocks.py)."""
     from cips_tpu.models.blocks import conv_save_policy
 
-    return conv_save_policy("conv")
+    return conv_save_policy(mode)

@@ -58,6 +58,9 @@ class DiffusionModelDecoder(nn.Module):
     cross_attention_dim: Optional[int] = None
     upcast_attention: bool = False
     remat: bool = False  # jax.checkpoint resnet/attention stages
+    remat_policy: str = "conv"  # see models/blocks.conv_save_policy; "conv_all"
+    # also saves unpacked conv outputs (the right default for mostly
+    # unpacked models — the causal trio's backward was 4-5x fwd under "conv")
     s2d: bool = False  # space-to-depth finest level (exact; no attention there)
     dtype: jnp.dtype = jnp.float32
 
@@ -79,14 +82,15 @@ class DiffusionModelDecoder(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
-        res_cls = nn.remat(ResnetBlock, policy=_conv_save_policy()) if self.remat else ResnetBlock
+        policy = _conv_save_policy(self.remat_policy)
+        res_cls = nn.remat(ResnetBlock, policy=policy) if self.remat else ResnetBlock
         attn_cls = (
-            nn.remat(SpatialTransformer, static_argnums=(3,), policy=_conv_save_policy())
+            nn.remat(SpatialTransformer, static_argnums=(3,), policy=policy)
             if self.remat
             else SpatialTransformer
         )
         mid_cls = (
-            nn.remat(MidBlock, static_argnums=(3,), policy=_conv_save_policy())
+            nn.remat(MidBlock, static_argnums=(3,), policy=policy)
             if self.remat
             else MidBlock
         )
@@ -179,8 +183,8 @@ class DiffusionModelDecoder(nn.Module):
         )(h)
 
 
-def _conv_save_policy():
-    """save-conv-outputs + GN-stats checkpoint policy (see models/blocks.py)."""
+def _conv_save_policy(mode: str = "conv"):
+    """named conv-save checkpoint policy (see models/blocks.py)."""
     from cips_tpu.models.blocks import conv_save_policy
 
-    return conv_save_policy("conv")
+    return conv_save_policy(mode)

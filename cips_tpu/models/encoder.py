@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from cips_tpu.models.blocks import DownBlock, GroupNorm, PackedConv, attention_mode, conv
-from cips_tpu.ops.s2d import space_to_depth
+from cips_tpu.ops.s2d import auto_factor, space_to_depth
 
 
 def _tuplify(v, n: int) -> Tuple:
@@ -55,8 +55,14 @@ class DiffusionModelEncoder(nn.Module):
     head: str = "mlp"  # "mlp" -> logits (classifier) | "spatial" -> latent map (causal)
     head_hidden: int = 512
     head_dropout: float = 0.1
-    s2d: bool = False  # space-to-depth level 0 (exact; needs resblock_updown, no L0 attention)
+    s2d: bool = False  # space-to-depth level 0 (exact; needs resblock_updown, no L0 attention);
+    # the packing factor is auto_factor(num_channels[0]) — (2,2,2) for <=16
+    # channels, (2,2,1) for 32, (2,1,1) for 64 (the causal encoder's case)
     remat: bool = False  # jax.checkpoint each down block
+    remat_policy: str = "conv"  # "conv" | "conv12" | "conv2" | "conv_all" —
+    # "conv_all" additionally saves unpacked conv outputs: for mostly
+    # unpacked models (the causal trio) "conv" saves nothing and the
+    # backward re-runs whole blocks (measured 3.9-4.9x fwd; conv_all ~3x)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,16 +78,19 @@ class DiffusionModelEncoder(nn.Module):
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
+        f0 = auto_factor(self.num_channels[0]) if self.s2d else None
         if self.s2d:
             if self.attention_levels[0] or not self.resblock_updown or self.spatial_dims != 3:
                 raise ValueError("s2d needs resblock_updown=True, no level-0 attention, 3-D")
-            x = space_to_depth(x)
-            h = PackedConv(self.num_channels[0], 3, dtype=self.dtype, name="conv_in")(x)
+            if f0 is None:
+                raise ValueError("s2d level 0 needs a 128-lane-compatible channel count")
+            x = space_to_depth(x, f0)
+            h = PackedConv(self.num_channels[0], 3, factors=f0, dtype=self.dtype, name="conv_in")(x)
         else:
             h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
 
         down_cls = (
-            nn.remat(DownBlock, static_argnums=(3,), policy=_conv_save_policy())
+            nn.remat(DownBlock, static_argnums=(3,), policy=_conv_save_policy(self.remat_policy))
             if self.remat
             else DownBlock
         )
@@ -103,7 +112,7 @@ class DiffusionModelEncoder(nn.Module):
                 transformer_num_layers=self.transformer_num_layers,
                 cross_attention_dim=self.cross_attention_dim,
                 upcast_attention=self.upcast_attention,
-                factors=(2, 2, 2) if (self.s2d and i == 0) else None,
+                factors=f0 if i == 0 else None,
                 factors_down=None,
                 dtype=self.dtype,
                 name=f"down_{i}",
@@ -123,8 +132,8 @@ class DiffusionModelEncoder(nn.Module):
         return nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
 
 
-def _conv_save_policy():
-    """save-conv-outputs + GN-stats checkpoint policy (see models/blocks.py)."""
+def _conv_save_policy(mode: str = "conv"):
+    """named conv-save checkpoint policy (see models/blocks.py)."""
     from cips_tpu.models.blocks import conv_save_policy
 
-    return conv_save_policy("conv")
+    return conv_save_policy(mode)

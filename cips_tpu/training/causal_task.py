@@ -50,15 +50,27 @@ class CausalState:
 def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bfloat16, remat: bool = True):
     """``remat`` defaults on — the causal trio at the (96,128,96) working
     volume exceeds HBM without per-block rematerialisation."""
+    from cips_tpu.ops.s2d import auto_factor
+
     enc_def = dict(model_cfg["t1_autoencoder_def"]["atten_encoder"])
     enc_def["cross_attention_dim"] = max(n_covariates, 1)
     enc_def.setdefault("remat", remat)
+    # the causal trio is mostly UNPACKED, where the "conv" policy saves
+    # nothing and the backward re-ran whole blocks (measured grads at
+    # 3.9-4.9x fwd); "conv_all" saves the padded unpacked conv outputs too
+    # — batch-1/2 HBM affords it (scripts/probe_causal_parts.py)
+    enc_def.setdefault("remat_policy", "conv_all")
+    # (2,1,1) packing makes the 64-channel full-resolution level exactly
+    # 128 lanes (auto_factor)
+    enc_def.setdefault("s2d", enc_def.get("spatial_dims", 3) == 3
+                       and enc_def.get("resblock_updown", False)
+                       and not list(enc_def.get("attention_levels", [True]))[0]
+                       and auto_factor(list(enc_def.get("num_channels", [999]))[0]) is not None)
     encoder = DiffusionModelEncoder(head="spatial", dtype=dtype, **enc_def)
-
-    from cips_tpu.ops.s2d import auto_factor
 
     t1_dec_def = dict(model_cfg["t1_autoencoder_def"]["decoder"])
     t1_dec_def.setdefault("remat", remat)
+    t1_dec_def.setdefault("remat_policy", "conv_all")
     # the finest level packs with its auto factor (32ch -> (2,2,1)): the
     # round-1 8x-dense loss at 32 channels is gone with anisotropic factors
     # — measured 1.26 vol/s (batch 1) == unpacked, and batch 2 fits HBM
@@ -70,6 +82,7 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
     pet_def = dict(model_cfg["pet_decoder_def"])
     pet_def["cross_attention_dim"] = max(n_covariates, 1)
     pet_def.setdefault("remat", remat)
+    pet_def.setdefault("remat_policy", "conv_all")
     pet_def.setdefault("s2d", pet_def.get("spatial_dims", 3) == 3
                        and len(pet_def.get("num_channels", [])) >= 2
                        and not list(pet_def.get("attention_levels", [True]))[-1]

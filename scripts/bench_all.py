@@ -72,7 +72,7 @@ def bench_flagship(rng):
         "pet": _rand(rng, shape),
         "info": _rand(rng, (batch, 1, N_COVARIATES)),
     }
-    step = jax.jit(make_train_step(g, d, p, TRAIN_CFG), donate_argnums=0)
+    step = jax.jit(make_train_step(g, d, p, TRAIN_CFG, split_d=True), donate_argnums=0)
     dt = _measure(step, state, (batch_data,), lambda m: float(m["g_loss"]))
     return "t1_to_pet_synthesis_train_throughput", batch / dt, 2.0
 

@@ -166,6 +166,37 @@ def test_encoder_s2d_equivalence():
     )
 
 
+def test_encoder_s2d_anisotropic_equivalence():
+    """auto_factor packing for wide first levels: C=48 -> (2,1,1) (the
+    causal encoder's 64-channel case at toy scale), spatial head."""
+    from cips_tpu.models.encoder import DiffusionModelEncoder
+
+    kwargs = dict(
+        in_channels=1,
+        out_channels=6,
+        num_channels=(48, 48),
+        num_res_blocks=1,
+        attention_levels=(False, True),
+        norm_num_groups=8,
+        num_head_channels=(0, 4),
+        resblock_updown=True,
+        head="spatial",
+        with_conditioning=True,
+        cross_attention_dim=3,
+    )
+    plain = DiffusionModelEncoder(**kwargs)
+    packed = DiffusionModelEncoder(s2d=True, **kwargs)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 1)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 3)), jnp.float32)
+    params = plain.init(jax.random.key(0), x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(params, x, ctx)),
+        np.asarray(plain.apply(params, x, ctx)),
+        atol=2e-5, rtol=2e-5,
+    )
+
+
 def test_diffusion_decoder_s2d_equivalence():
     from cips_tpu.models.decoder import DiffusionModelDecoder
 
