@@ -22,7 +22,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from cips_tpu.models.blocks import PackedConv
 from cips_tpu.models.discriminator import PatchDiscriminator, _InstanceNorm
+from cips_tpu.ops.s2d import auto_factor, depth_to_space, phase_count, space_to_depth
 
 
 def _conv(spatial_dims, features, kernel=3, stride=1, name=None, dtype=jnp.float32):
@@ -167,7 +169,16 @@ class DenseUNetGenerator(nn.Module):
     down_channels: Sequence[int] = (128, 256, 256, 512)
     middle_channels: int = 512
     up_channels: Sequence[int] = (512, 256, 256, 256, 128)
+    s2d: bool = True  # space-to-depth the full-resolution stem/head convs
+    # with auto_factor(C) packing (64ch -> (2,1,1) = exactly 128 lanes);
+    # exact math, identical parameters — the full-res C=64 tensors otherwise
+    # pad 2x in HBM (ops/s2d.py)
     dtype: jnp.dtype = jnp.float32
+
+    def _stem_factors(self):
+        if not self.s2d or self.spatial_dims != 3:
+            return None
+        return auto_factor(self.input_conv_channel)
 
     @nn.compact
     def __call__(self, x: jax.Array, latent: jax.Array) -> jax.Array:
@@ -178,11 +189,23 @@ class DenseUNetGenerator(nn.Module):
         lat = jnp.broadcast_to(lat, x.shape[:-1] + (latent.shape[-1],)).astype(x.dtype)
         h = jnp.concatenate([x, lat], axis=-1)
 
+        f = self._stem_factors()
         # stem: two 3x3 convs then a stride-2 conv (/2)
-        for i in range(2):
-            h = _conv(sd, self.input_conv_channel, 3, 1, f"stem_{i}", self.dtype)(h)
-            h = _InstanceNorm(name=f"stem_norm_{i}")(h)
-            h = nn.leaky_relu(h, 0.2)
+        if f is not None:
+            p = phase_count(f)
+            h = space_to_depth(h, f)
+            for i in range(2):
+                h = PackedConv(
+                    self.input_conv_channel, 3, factors=f, dtype=self.dtype, name=f"stem_{i}"
+                )(h)
+                h = _InstanceNorm(phases=p, name=f"stem_norm_{i}")(h)
+                h = nn.leaky_relu(h, 0.2)
+            h = depth_to_space(h, f)
+        else:
+            for i in range(2):
+                h = _conv(sd, self.input_conv_channel, 3, 1, f"stem_{i}", self.dtype)(h)
+                h = _InstanceNorm(name=f"stem_norm_{i}")(h)
+                h = nn.leaky_relu(h, 0.2)
         h = _conv(sd, self.input_conv_channel, 3, 2, "stem_down", self.dtype)(h)
         h = _InstanceNorm(name="stem_down_norm")(h)
         h = nn.leaky_relu(h, 0.2)
@@ -212,6 +235,23 @@ class DenseUNetGenerator(nn.Module):
             h = _InstanceNorm(name=f"up_norm_{i}")(h)
             h = nn.leaky_relu(h, 0.2)
 
+        f_out = (
+            None
+            if (not self.s2d or self.spatial_dims != 3)
+            else auto_factor(self.output_conv_channel)
+        )
+        if f_out is not None:
+            p = phase_count(f_out)
+            h = space_to_depth(h, f_out)
+            for i in range(2):
+                h = PackedConv(
+                    self.output_conv_channel, 3, factors=f_out, dtype=self.dtype, name=f"head_{i}"
+                )(h)
+                h = _InstanceNorm(phases=p, name=f"head_norm_{i}")(h)
+                h = nn.leaky_relu(h, 0.2)
+            h = PackedConv(1, 3, factors=f_out, dtype=self.dtype, name="head_out")(h)
+            h = depth_to_space(h, f_out)
+            return jnp.tanh(h)
         for i in range(2):
             h = _conv(sd, self.output_conv_channel, 3, 1, f"head_{i}", self.dtype)(h)
             h = _InstanceNorm(name=f"head_norm_{i}")(h)

@@ -31,9 +31,29 @@ class _InstanceNorm(nn.Module):
     ~20% off the flagship step in blocks.GroupNorm)."""
 
     epsilon: float = 1e-5
+    phases: int = 1  # >1: input is a space-to-depth packing with P phases —
+    # the phase axis counts as spatial, so the result equals InstanceNorm on
+    # the full-resolution tensor with the same (C,) parameters
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        p = self.phases
+        c = x.shape[-1] // p
+        if p > 1:
+            b = x.shape[0]
+            xr = x.reshape(b, -1, p * c)
+            x32 = xr.astype(jnp.float32)
+            s1 = jnp.mean(x32, axis=1).reshape(b, p, c).mean(axis=1)  # (B, C)
+            s2 = jnp.mean(jnp.square(x32), axis=1).reshape(b, p, c).mean(axis=1)
+            inv = jax.lax.rsqrt(jnp.maximum(s2 - jnp.square(s1), 0.0) + self.epsilon)
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            w = inv * scale[None]
+            off = bias[None] - s1 * w
+            w_pc = jnp.tile(w, (1, p))[:, None, :]
+            off_pc = jnp.tile(off, (1, p))[:, None, :]
+            y = xr * w_pc.astype(x.dtype) + off_pc.astype(x.dtype)
+            return y.reshape(x.shape)
         axes = tuple(range(1, x.ndim - 1))
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axes, keepdims=True)  # convert fused into reduce
