@@ -51,7 +51,7 @@ def build_models(
     n_covariates: int,
     dtype=jnp.bfloat16,
     remat: bool = True,
-    remat_policy: Optional[str] = "conv",
+    remat_policy: Optional[str] = "conv12",
     s2d: Optional[bool] = None,
 ) -> Tuple[AttenUNet, PatchDiscriminator, PerceptualLoss]:
     """Construct G/D/perceptual from a reference-schema config dict

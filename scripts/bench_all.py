@@ -96,7 +96,7 @@ def bench_causal(rng):
 
     cfg = common.load_config(None, "training_causal.json")
     enc, t1_dec, pet_dec, disc, perc = causal_task.build_models(cfg, n_covariates=5, dtype=jnp.bfloat16)
-    b = 2  # batch 2 fits since the (2,2,1)-packed decoder finest levels (round 2)
+    b = 4  # best measured round-3 config (conv_all saves + packed encoder level 0)
     shape = (b, *VOL, 1)
     state = causal_task.init_state(
         jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, cfg["training"], (1, *VOL, 1), n_covariates=5

@@ -25,8 +25,14 @@ from cips_tpu.training import causal_task
 VOL = (96, 128, 96)
 
 
-def run(batch: int, exact: bool = False):
+def run(batch: int, exact: bool = False, nopack: bool = False):
     cfg = common.load_config(None, "training_causal.json")
+    if nopack:
+        cfg = dict(cfg)
+        cfg["t1_autoencoder_def"] = dict(cfg["t1_autoencoder_def"])
+        cfg["t1_autoencoder_def"]["atten_encoder"] = dict(
+            cfg["t1_autoencoder_def"]["atten_encoder"], s2d=False
+        )
     enc, t1_dec, pet_dec, disc, perc = causal_task.build_models(cfg, n_covariates=5, dtype=jnp.bfloat16)
     shape = (batch, *VOL, 1)
     state = causal_task.init_state(
@@ -55,12 +61,12 @@ def run(batch: int, exact: bool = False):
     float(m["rec_pet_loss"])
     dt = (time.perf_counter() - t0) / n
     print(
-        f"causal batch={batch} exact={exact}  step {dt*1e3:7.1f} ms  "
-        f"{batch/dt:5.2f} vol/s/chip",
+        f"causal batch={batch} exact={exact} nopack={'nopack' in sys.argv}  "
+        f"step {dt*1e3:7.1f} ms  {batch/dt:5.2f} vol/s/chip",
         flush=True,
     )
 
 
 if __name__ == "__main__":
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    run(batch, exact="exact" in sys.argv)
+    run(batch, exact="exact" in sys.argv, nopack="nopack" in sys.argv)
