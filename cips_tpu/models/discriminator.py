@@ -14,11 +14,75 @@ one group per channel, computed in fp32.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _in_core(xr: jax.Array, scale: jax.Array, bias: jax.Array, p: int, eps: float) -> jax.Array:
+    """Instance-norm over ``xr`` of shape (B, S, P*C): per-(batch, channel)
+    stats over spatial AND the P space-to-depth phases (so the result equals
+    InstanceNorm on the full-resolution tensor with the same (C,) params).
+
+    Stats accumulate in fp32 with the converts fused into the reductions; the
+    apply is one fused x*w + off pass in the activation dtype. The hand
+    backward (see ``_in_core_bwd``) is two fused reductions + one FMA pass —
+    XLA autodiff of the stats graph materialised an fp32 broadcast chain
+    (pad/convert fusion tail) that dominated the BMGAN G backward."""
+    y, _ = _in_fwd(xr, scale, bias, p, eps)
+    return y
+
+
+def _in_fwd(xr, scale, bias, p, eps):
+    b = xr.shape[0]
+    c = xr.shape[-1] // p
+    x32 = xr.astype(jnp.float32)
+    s1 = jnp.mean(x32, axis=1)  # (B, P*C); convert fused into reduce
+    s2 = jnp.mean(jnp.square(x32), axis=1)
+    if p > 1:
+        s1 = s1.reshape(b, p, c).mean(axis=1)  # (B, C)
+        s2 = s2.reshape(b, p, c).mean(axis=1)
+    inv = jax.lax.rsqrt(jnp.maximum(s2 - jnp.square(s1), 0.0) + eps)
+    w = inv * scale[None]  # (B, C)
+    off = bias[None] - s1 * w
+    if p > 1:
+        w, off = jnp.tile(w, (1, p)), jnp.tile(off, (1, p))
+    y = xr * w[:, None, :].astype(xr.dtype) + off[:, None, :].astype(xr.dtype)
+    return y, (xr, scale, s1, inv)
+
+
+def _in_core_bwd(p, eps, res, g):
+    xr, scale, mu, inv = res
+    b = xr.shape[0]
+    c = xr.shape[-1] // p
+    n = xr.shape[1] * p  # voxels per (batch, channel)
+    sum_g = jnp.sum(g.astype(jnp.float32), axis=1)  # (B, P*C)
+    sum_gx = jnp.sum((g * xr).astype(jnp.float32), axis=1)
+    if p > 1:
+        sum_g = sum_g.reshape(b, p, c).sum(axis=1)  # (B, C)
+        sum_gx = sum_gx.reshape(b, p, c).sum(axis=1)
+    mean_g = sum_g / n
+    centered = sum_gx - mu * sum_g  # = n * mean(g * (x - mu))
+    a = scale[None] * inv  # (B, C) fp32 coefficients of dx = a*g + bb*x + cc
+    bb = -(scale[None] * inv**3) * centered / n
+    cc = -a * mean_g - bb * mu
+    d_scale = jnp.sum(inv * centered, axis=0)  # (C,)
+    d_bias = jnp.sum(sum_g, axis=0)
+    if p > 1:
+        a, bb, cc = (jnp.tile(t, (1, p)) for t in (a, bb, cc))
+    dx = (
+        g * a[:, None, :].astype(g.dtype)
+        + xr * bb[:, None, :].astype(g.dtype)
+        + cc[:, None, :].astype(g.dtype)
+    )
+    return dx, d_scale, d_bias
+
+
+_in_core.defvjp(lambda xr, scale, bias, p, eps: _in_fwd(xr, scale, bias, p, eps), _in_core_bwd)
 
 
 class _InstanceNorm(nn.Module):
@@ -28,7 +92,8 @@ class _InstanceNorm(nn.Module):
     (per-(batch, channel) over spatial — the channel lanes stay intact), and
     the normalisation is one fused x*w + b pass in the activation dtype; no
     fp32 copy of the tensor is materialised (the same treatment that cut
-    ~20% off the flagship step in blocks.GroupNorm)."""
+    ~20% off the flagship step in blocks.GroupNorm). The backward is a
+    hand-written VJP (``_in_core``): two fused reductions + one FMA pass."""
 
     epsilon: float = 1e-5
     phases: int = 1  # >1: input is a space-to-depth packing with P phases —
@@ -39,31 +104,11 @@ class _InstanceNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.phases
         c = x.shape[-1] // p
-        if p > 1:
-            b = x.shape[0]
-            xr = x.reshape(b, -1, p * c)
-            x32 = xr.astype(jnp.float32)
-            s1 = jnp.mean(x32, axis=1).reshape(b, p, c).mean(axis=1)  # (B, C)
-            s2 = jnp.mean(jnp.square(x32), axis=1).reshape(b, p, c).mean(axis=1)
-            inv = jax.lax.rsqrt(jnp.maximum(s2 - jnp.square(s1), 0.0) + self.epsilon)
-            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-            w = inv * scale[None]
-            off = bias[None] - s1 * w
-            w_pc = jnp.tile(w, (1, p))[:, None, :]
-            off_pc = jnp.tile(off, (1, p))[:, None, :]
-            y = xr * w_pc.astype(x.dtype) + off_pc.astype(x.dtype)
-            return y.reshape(x.shape)
-        axes = tuple(range(1, x.ndim - 1))
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axes, keepdims=True)  # convert fused into reduce
-        meansq = jnp.mean(jnp.square(x32), axes, keepdims=True)
-        inv = jax.lax.rsqrt(jnp.maximum(meansq - jnp.square(mean), 0.0) + self.epsilon)
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
-        w = inv * scale
-        off = bias - mean * w
-        return x * w.astype(x.dtype) + off.astype(x.dtype)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xr = x.reshape(x.shape[0], -1, x.shape[-1])
+        y = _in_core(xr, scale, bias, p, self.epsilon)
+        return y.reshape(x.shape)
 
 
 class PatchDiscriminator(nn.Module):

@@ -1,0 +1,60 @@
+"""BMGAN full-step throughput vs batch size on TPU.
+
+  python scripts/probe_bmgan_batch.py [batches...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from cips_tpu.training import bmgan_task
+
+VOL = (96, 128, 96)
+
+
+def main():
+    batches = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    g, e, d, p = bmgan_task.build_models(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    for b in batches:
+        shape = (b, *VOL, 1)
+        try:
+            state = bmgan_task.init_state(
+                jax.random.key(0), g, e, d, p, (1, *VOL, 1), perceptual_weight=0.0
+            )
+            batch = {
+                "t1": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
+                "pet": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
+            }
+            step = jax.jit(bmgan_task.make_train_step(g, e, d, p, 20.0, 0.0), donate_argnums=0)
+            key = jax.random.key(1)
+            state, m = step(state, batch, key)
+            float(m["g_loss"])
+            state, m = step(state, batch, key)
+            float(m["g_loss"])
+            n = 5
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, m = step(state, batch, key)
+            float(m["g_loss"])
+            dt = (time.perf_counter() - t0) / n
+            print(f"batch {b}: {dt*1e3:7.1f} ms/step  {b/dt:6.2f} vol/s", flush=True)
+            del state, batch
+        except Exception as exc:  # noqa: BLE001
+            print(f"batch {b}: FAILED {type(exc).__name__}: {str(exc)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

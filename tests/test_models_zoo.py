@@ -89,3 +89,37 @@ def test_losses_values():
     np.testing.assert_allclose(float(g_loss), 0.25, rtol=1e-6)
     d_loss = lsgan_discriminator_loss(logits_fake=logits, logits_real=logits)
     np.testing.assert_allclose(float(d_loss), 0.25, rtol=1e-6)
+
+
+def test_instance_norm_custom_vjp_matches_autodiff():
+    """_InstanceNorm's hand VJP == autodiff of the plain formula (both phases)."""
+    from cips_tpu.models.discriminator import _InstanceNorm
+
+    rng = np.random.default_rng(3)
+    for p, shape, c in [(1, (2, 4, 5, 3, 6), 6), (2, (2, 4, 5, 3, 6), 3)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        mod = _InstanceNorm(phases=p)
+        params = mod.init(jax.random.key(0), x)
+        params = jax.tree_util.tree_map(
+            lambda t: jnp.asarray(rng.standard_normal(t.shape), t.dtype), params
+        )
+
+        def ref_apply(params, x):
+            scale = params["params"]["scale"]
+            bias = params["params"]["bias"]
+            b = x.shape[0]
+            xr = x.reshape(b, -1, p, c).swapaxes(1, 2)  # (B, P, S, C)
+            mu = xr.mean(axis=(1, 2), keepdims=True)
+            var = jnp.square(xr - mu).mean(axis=(1, 2), keepdims=True)
+            y = (xr - mu) / jnp.sqrt(var + 1e-5) * scale + bias
+            return y.swapaxes(1, 2).reshape(x.shape)
+
+        tgt = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        loss = lambda f: (lambda pr, xx: jnp.mean(jnp.square(f(pr, xx) - tgt)))
+        y_new = mod.apply(params, x)
+        y_ref = ref_apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref), atol=2e-5)
+        g_new = jax.grad(loss(mod.apply), argnums=(0, 1))(params, x)
+        g_ref = jax.grad(loss(ref_apply), argnums=(0, 1))(params, x)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g_new), jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
