@@ -22,9 +22,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cips_tpu.models.blocks import PackedConv
+from cips_tpu.models.blocks import (
+    CONV2_SAVE_NAME,
+    CONV_SAVE_NAME,
+    PackedConv,
+    conv_save_policy,
+)
 from cips_tpu.models.discriminator import PatchDiscriminator, _InstanceNorm
 from cips_tpu.ops.s2d import auto_factor, depth_to_space, phase_count, space_to_depth
+from jax.ad_checkpoint import checkpoint_name
 
 
 def _conv(spatial_dims, features, kernel=3, stride=1, name=None, dtype=jnp.float32):
@@ -118,6 +124,7 @@ class _ResidualUnit(nn.Module):
                 h = _CatConv(self.spatial_dims, self.features, 3, dtype=self.dtype, name=cname)(*parts)
             else:
                 h = _conv(self.spatial_dims, self.features, 3, stride, cname, self.dtype)(h)
+            h = checkpoint_name(h, CONV_SAVE_NAME)
             h = _InstanceNorm(name=nname)(h)
             h = self._apply_act(h, i)
             stride = 1
@@ -155,6 +162,7 @@ class _DenseBlock(nn.Module):
             x = _CatConv(self.spatial_dims, self.features, 3, dtype=self.dtype, name=f"fuse_{i}")(
                 *parts, y
             )
+            x = checkpoint_name(x, CONV2_SAVE_NAME)
             x = _InstanceNorm(name=f"norm_{i}")(x)
             x = nn.leaky_relu(x, 0.2)
             parts = (x,)
@@ -173,7 +181,17 @@ class DenseUNetGenerator(nn.Module):
     # with auto_factor(C) packing (64ch -> (2,1,1) = exactly 128 lanes);
     # exact math, identical parameters — the full-res C=64 tensors otherwise
     # pad 2x in HBM (ops/s2d.py)
+    remat: bool = False  # rematerialise each dense block under the named
+    # conv-save policy — halves the saved-activation set for batch >= 2
+    remat_policy: str = "conv_all"
     dtype: jnp.dtype = jnp.float32
+
+    def _dense(self, features: int, name: str):
+        if self.remat:
+            cls = nn.remat(_DenseBlock, policy=conv_save_policy(self.remat_policy))
+        else:
+            cls = _DenseBlock
+        return cls(self.spatial_dims, features, dtype=self.dtype, name=name)
 
     def _stem_factors(self):
         if not self.s2d or self.spatial_dims != 3:
@@ -212,17 +230,17 @@ class DenseUNetGenerator(nn.Module):
 
         skips = [h]
         for i, c in enumerate(self.down_channels):
-            h = _DenseBlock(sd, c, dtype=self.dtype, name=f"down_dense_{i}")(h)
+            h = self._dense(c, f"down_dense_{i}")(h)
             h = _conv(sd, c, 3, 2, f"down_conv_{i}", self.dtype)(h)
             h = _InstanceNorm(name=f"down_norm_{i}")(h)
             h = nn.leaky_relu(h, 0.2)
             skips.append(h)
 
-        h = _DenseBlock(sd, self.middle_channels, dtype=self.dtype, name="middle")(h)
+        h = self._dense(self.middle_channels, "middle")(h)
 
         for i, c in enumerate(self.up_channels):
             # skip concat threads into the dense block as kernel-sliced parts
-            h = _DenseBlock(sd, c, dtype=self.dtype, name=f"up_dense_{i}")((h, skips[-1 - i]))
+            h = self._dense(c, f"up_dense_{i}")((h, skips[-1 - i]))
             h = nn.ConvTranspose(
                 c,
                 kernel_size=(4,) * sd,

@@ -167,29 +167,38 @@ def _scatter_indices(k: int, f: Factors = F8) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(dst, np.int32), np.asarray(src, np.int32)
 
 
+@lru_cache(maxsize=None)
+def _scatter_onehot(k: int, f: Factors) -> np.ndarray:
+    """0/1 placement matrix M of shape (KK^3 * P * P, k^3):
+    M[(kt, q, p), s] = 1 iff original tap s lands at packed kernel position
+    kt for the (input phase q -> output phase p) block. Each row has at most
+    a single 1, so contracting with it is an exact selection."""
+    dst, src = _scatter_indices(k, f)
+    p = phase_count(f)
+    kk = 3 if k == 3 else 1
+    m = np.zeros((kk * kk * kk * p * p, k * k * k), np.float32)
+    for (kz, ky, kx, qi, pi), (dz, dy, dx) in zip(dst, src):
+        m[((kz * kk + ky) * kk + kx) * p * p + qi * p + pi, (dz * k + dy) * k + dx] = 1.0
+    return m
+
+
 def pack_conv_kernel(w: jax.Array, f: Factors = F8) -> jax.Array:
     """(k,k,k,Cin,Cout) -> (k,k,k,P*Cin,P*Cout) packed-domain kernel.
 
     conv(full_grid_x, w) == depth_to_space(conv(space_to_depth(x, f), W), f).
-    Differentiable scatter of the original weights (parameters unchanged).
-    """
+    The placement runs as a static one-hot contraction (tiny MXU dot + small
+    transpose) rather than an element-indexed scatter: the scatter compiled
+    to per-element gathers with u32 index arrays costing *milliseconds per
+    step per conv* on TPU (measured — the BMGAN step carried ~27 ms/step of
+    such gather fusions). One-hot selection is exact in any dtype; the
+    transpose (einsum cotangent) is the wgrad's inverse placement."""
     k, _, _, cin, cout = w.shape
     p = phase_count(f)
-    dst, src = _scatter_indices(k, f)
     kk = 3 if k == 3 else 1
-    big = jnp.zeros((kk, kk, kk, p * cin, p * cout), w.dtype)
-
-    # advanced-index scatter: one (Cin, Cout) block per mapping row
-    taps = w[src[:, 0], src[:, 1], src[:, 2]]  # (n, Cin, Cout)
-    ci = np.arange(cin)
-    co = np.arange(cout)
-    n = dst.shape[0]
-    kz = np.repeat(dst[:, 0], cin * cout)
-    ky = np.repeat(dst[:, 1], cin * cout)
-    kx = np.repeat(dst[:, 2], cin * cout)
-    qin = np.repeat(dst[:, 3] * cin, cin * cout) + np.tile(np.repeat(ci, cout), n)
-    pout = np.repeat(dst[:, 4] * cout, cin * cout) + np.tile(np.tile(co, cin), n)
-    return big.at[kz, ky, kx, qin, pout].set(taps.reshape(-1))
+    m = jnp.asarray(_scatter_onehot(k, f), w.dtype)
+    big = (m @ w.reshape(k * k * k, cin * cout)).reshape(kk, kk, kk, p, p, cin, cout)
+    big = big.transpose(0, 1, 2, 3, 5, 4, 6)  # (..., q, Cin, p, Cout)
+    return big.reshape(kk, kk, kk, p * cin, p * cout)
 
 
 def packed_conv_dense(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
@@ -252,17 +261,13 @@ def pack_conv_kernel_phase(w: jax.Array) -> jax.Array:
     k, _, _, cin, cout = w.shape
     assert k == 3
     dst, src = _phase_kernel_indices()
-    big = jnp.zeros((2, 2, 2, PHASES * cin, PHASES * cout), w.dtype)
-    taps = w[src[:, 0], src[:, 1], src[:, 2]]  # (n, Cin, Cout)
-    ci = np.arange(cin)
-    co = np.arange(cout)
-    n = dst.shape[0]
-    kz = np.repeat(dst[:, 0], cin * cout)
-    ky = np.repeat(dst[:, 1], cin * cout)
-    kx = np.repeat(dst[:, 2], cin * cout)
-    qin = np.repeat(dst[:, 3] * cin, cin * cout) + np.tile(np.repeat(ci, cout), n)
-    pout = np.repeat(dst[:, 4] * cout, cin * cout) + np.tile(np.tile(co, cin), n)
-    return big.at[kz, ky, kx, qin, pout].set(taps.reshape(-1))
+    m = np.zeros((2 * 2 * 2 * PHASES * PHASES, k * k * k), np.float32)
+    for (kz, ky, kx, qi, pi), (dz, dy, dx) in zip(dst, src):
+        m[((kz * 2 + ky) * 2 + kx) * PHASES * PHASES + qi * PHASES + pi, (dz * k + dy) * k + dx] = 1.0
+    big = (jnp.asarray(m, w.dtype) @ w.reshape(k * k * k, cin * cout)).reshape(
+        2, 2, 2, PHASES, PHASES, cin, cout
+    )
+    return big.transpose(0, 1, 2, 3, 5, 4, 6).reshape(2, 2, 2, PHASES * cin, PHASES * cout)
 
 
 def _phase_shift_input(x: jax.Array) -> jax.Array:

@@ -40,8 +40,10 @@ class BMGANState:
     step: jnp.ndarray
 
 
-def build_models(dtype=jnp.bfloat16, latent_dim: int = 8):
-    generator = DenseUNetGenerator(dtype=dtype, latent_dim=latent_dim)
+def build_models(dtype=jnp.bfloat16, latent_dim: int = 8, remat: bool = False,
+                 remat_policy: str = "conv_all"):
+    generator = DenseUNetGenerator(dtype=dtype, latent_dim=latent_dim, remat=remat,
+                                   remat_policy=remat_policy)
     encoder = ResNetEncoder(dtype=dtype, latent_dim=latent_dim)
     discriminator = BMGANDiscriminator(dtype=dtype)
     # reference: PerceptualLoss(spatial_dims=3) with no network_type
