@@ -67,6 +67,11 @@ CONV_SKIP_SAVE_NAME = "resconvskip"
 # GroupNorm statistics: (B, G)-shaped — saving them is ~free and spares the
 # backward recompute its full-tensor reduction passes.
 GN_STAT_NAME = "gnstat"
+# Flash-attention custom-VJP residuals (ops/pallas/flash_attention.py
+# ATTN_RESID_NAME): saved under EVERY policy mode — (B,H,L,Dh)-sized, and
+# saving them dead-code-eliminates the rematerialised forward attention
+# kernel (exp-roofline VPU work) in the backward pass.
+from cips_tpu.ops.pallas.flash_attention import ATTN_RESID_NAME  # noqa: E402
 
 
 def conv_save_policy(mode: str = "conv"):
@@ -84,17 +89,20 @@ def conv_save_policy(mode: str = "conv"):
     """
     if mode == "conv":
         return jax.checkpoint_policies.save_only_these_names(
-            CONV_SAVE_NAME, CONV2_SAVE_NAME, CONV_SKIP_SAVE_NAME, GN_STAT_NAME
+            CONV_SAVE_NAME, CONV2_SAVE_NAME, CONV_SKIP_SAVE_NAME, GN_STAT_NAME, ATTN_RESID_NAME
         )
     if mode == "conv12":
         return jax.checkpoint_policies.save_only_these_names(
-            CONV_SAVE_NAME, CONV2_SAVE_NAME, GN_STAT_NAME
+            CONV_SAVE_NAME, CONV2_SAVE_NAME, GN_STAT_NAME, ATTN_RESID_NAME
         )
     if mode == "conv2":
-        return jax.checkpoint_policies.save_only_these_names(CONV2_SAVE_NAME, GN_STAT_NAME)
+        return jax.checkpoint_policies.save_only_these_names(
+            CONV2_SAVE_NAME, GN_STAT_NAME, ATTN_RESID_NAME
+        )
     if mode == "conv_all":
         return jax.checkpoint_policies.save_only_these_names(
-            CONV_SAVE_NAME, CONV2_SAVE_NAME, CONV_SKIP_SAVE_NAME, CONV_NOSAVE_NAME, GN_STAT_NAME
+            CONV_SAVE_NAME, CONV2_SAVE_NAME, CONV_SKIP_SAVE_NAME, CONV_NOSAVE_NAME, GN_STAT_NAME,
+            ATTN_RESID_NAME
         )
     raise ValueError(f"unknown remat policy mode {mode!r}")
 
@@ -729,10 +737,10 @@ class AttentionBlock(nn.Module):
 
 def _make_downsampler(
     spatial_dims, out_channels, resblock_updown, norm_num_groups, norm_eps, dtype,
-    f_in=None, f_out=None,
+    f_in=None, f_out=None, res_cls=None,
 ):
     if resblock_updown:
-        return ResnetBlock(
+        return (res_cls or ResnetBlock)(
             spatial_dims=spatial_dims,
             out_channels=out_channels,
             down=True,
@@ -796,6 +804,14 @@ class DownBlock(nn.Module):
     dropout_cattn: float = 0.0
     factors: Optional[Factors] = None  # this level's s2d packing (no attention on packed levels)
     factors_down: Optional[Factors] = None  # the downsampled level's packing
+    # When set, the RESNETS (and the downsampler) rematerialise under the
+    # named conv-save policy while the attention blocks stay OUTSIDE remat:
+    # flash attention's custom-VJP residuals are invisible to checkpoint
+    # policies (the policy cannot reach inside custom_vjp), so remat'ing an
+    # attention block re-runs the whole exp-roofline kernel in the backward
+    # pass to regenerate ~10 MB of residuals. Callers should prefer this
+    # over wrapping the entire block in nn.remat.
+    remat_policy: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -807,9 +823,14 @@ class DownBlock(nn.Module):
     ):
         if self.factors is not None and self.attention_mode is not None:
             raise NotImplementedError("s2d level must not carry attention")
+        res_cls = (
+            nn.remat(ResnetBlock, policy=conv_save_policy(self.remat_policy))
+            if self.remat_policy
+            else ResnetBlock
+        )
         outputs = []
         for i in range(self.num_res_blocks):
-            h = ResnetBlock(
+            h = res_cls(
                 spatial_dims=self.spatial_dims,
                 out_channels=self.out_channels,
                 norm_num_groups=self.norm_num_groups,
@@ -857,6 +878,7 @@ class DownBlock(nn.Module):
                 self.dtype,
                 f_in=self.factors,
                 f_out=self.factors_down,
+                res_cls=res_cls,
             )(h)
             outputs.append(h)
         return h, outputs
@@ -875,6 +897,9 @@ class MidBlock(nn.Module):
     cross_attention_dim: Optional[int] = None
     upcast_attention: bool = False
     dropout_cattn: float = 0.0
+    # remat the two resnets only — attention stays outside remat (see
+    # DownBlock.remat_policy for why).
+    remat_policy: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -884,6 +909,11 @@ class MidBlock(nn.Module):
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        res_cls = (
+            nn.remat(ResnetBlock, policy=conv_save_policy(self.remat_policy))
+            if self.remat_policy
+            else ResnetBlock
+        )
         common = dict(
             spatial_dims=self.spatial_dims,
             out_channels=self.in_channels,
@@ -891,7 +921,7 @@ class MidBlock(nn.Module):
             norm_eps=self.norm_eps,
             dtype=self.dtype,
         )
-        h = ResnetBlock(name="resnet_1", **common)(h)
+        h = res_cls(name="resnet_1", **common)(h)
         if self.with_conditioning:
             n_heads, head_dim = heads_for(self.in_channels, self.num_head_channels)
             h = SpatialTransformer(
@@ -918,7 +948,7 @@ class MidBlock(nn.Module):
                 dtype=self.dtype,
                 name="attention",
             )(h)
-        h = ResnetBlock(name="resnet_2", **common)(h)
+        h = res_cls(name="resnet_2", **common)(h)
         return h
 
 

@@ -16,6 +16,7 @@ DiffusionModelEncoder.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -84,15 +85,14 @@ class DiffusionModelDecoder(nn.Module):
 
         policy = _conv_save_policy(self.remat_policy)
         res_cls = nn.remat(ResnetBlock, policy=policy) if self.remat else ResnetBlock
-        attn_cls = (
-            nn.remat(SpatialTransformer, static_argnums=(3,), policy=policy)
-            if self.remat
-            else SpatialTransformer
-        )
-        mid_cls = (
-            nn.remat(MidBlock, static_argnums=(3,), policy=policy)
-            if self.remat
-            else MidBlock
+        # attention is NEVER remat-wrapped: flash attention's custom-VJP
+        # residuals are invisible to checkpoint policies, so a remat'd
+        # attention block re-runs the exp-roofline kernel in the backward
+        # pass to regenerate ~10 MB of residuals (blocks.DownBlock notes).
+        # MidBlock remats its two resnets internally for the same reason.
+        attn_cls = SpatialTransformer
+        mid_cls = functools.partial(
+            MidBlock, remat_policy=self.remat_policy if self.remat else None
         )
 
         h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(z)

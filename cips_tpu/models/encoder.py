@@ -89,17 +89,16 @@ class DiffusionModelEncoder(nn.Module):
         else:
             h = conv(self.num_channels[0], 3, 1, self.spatial_dims, dtype=self.dtype, name="conv_in")(x)
 
-        down_cls = (
-            nn.remat(DownBlock, static_argnums=(3,), policy=_conv_save_policy(self.remat_policy))
-            if self.remat
-            else DownBlock
-        )
         for i in range(n):
             # mlp head: downsample at every level (reference behaviour,
             # atten_unet_model.py:1966). spatial head: keep the final level's
             # resolution so encoder/decoder scale factors compose.
+            # remat is applied INSIDE the block (resnets only): attention
+            # must stay outside remat or its exp-roofline flash kernel
+            # re-runs in the backward pass (blocks.DownBlock.remat_policy).
             add_down = True if self.head == "mlp" else (i != n - 1)
-            h, _ = down_cls(
+            h, _ = DownBlock(
+                remat_policy=self.remat_policy if self.remat else None,
                 spatial_dims=self.spatial_dims,
                 out_channels=self.num_channels[i],
                 num_res_blocks=res_blocks[i],

@@ -25,8 +25,9 @@ VOL = (96, 128, 96)
 
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
-    g, e, d, p = bmgan_task.build_models(dtype=jnp.bfloat16)
+    remat = "remat" in sys.argv
+    batches = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4]
+    g, e, d, p = bmgan_task.build_models(dtype=jnp.bfloat16, remat=remat)
     rng = np.random.default_rng(0)
     for b in batches:
         shape = (b, *VOL, 1)

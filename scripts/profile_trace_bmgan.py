@@ -41,17 +41,37 @@ def main():
         adv = patch_adversarial_loss(logits, target_is_real=True, for_discriminator=False)
         return adv + 20.0 * l1_loss(fake, pet)
 
-    g_grad = jax.jit(jax.grad(g_loss))
-    out = g_grad(state.g.params)
-    jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)).item()
-    out = g_grad(state.g.params)
-    jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)).item()
+    if "step" in sys.argv:
+        # full train step (G + E + D phases) — attribution across phases
+        batch = {"t1": t1, "pet": pet}
+        step_fn = jax.jit(bmgan_task.make_train_step(g, e, d, p, 20.0, 0.0))
 
-    jax.profiler.start_trace(TRACE_DIR)
-    for _ in range(3):
+        def run_once(key):
+            nonlocal state
+            state, m = step_fn(state, batch, key)
+            return m
+
+        m = run_once(jax.random.key(1))
+        float(m["g_loss"])
+        m = run_once(jax.random.key(2))
+        float(m["g_loss"])
+        jax.profiler.start_trace(TRACE_DIR)
+        for i in range(3):
+            m = run_once(jax.random.key(3 + i))
+        float(m["g_loss"])
+        jax.profiler.stop_trace()
+    else:
+        g_grad = jax.jit(jax.grad(g_loss))
         out = g_grad(state.g.params)
-    jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)).item()
-    jax.profiler.stop_trace()
+        jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)).item()
+        out = g_grad(state.g.params)
+        jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)).item()
+
+        jax.profiler.start_trace(TRACE_DIR)
+        for _ in range(3):
+            out = g_grad(state.g.params)
+        jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)).item()
+        jax.profiler.stop_trace()
 
     paths = glob.glob(os.path.join(TRACE_DIR, "**", "*.trace.json.gz"), recursive=True)
     assert paths, "no trace written"

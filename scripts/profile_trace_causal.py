@@ -43,6 +43,31 @@ def main():
     z = latent[..., : latent.shape[-1] // 2]
 
     which = sys.argv[1] if len(sys.argv) > 1 else "pet"
+    if which == "step":
+        # full train step at batch 2 (the bench-viable config)
+        b = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        bshape = (b, *VOL, 1)
+        bdata = {
+            "t1": jnp.asarray(rng.random(bshape, np.float32), jnp.bfloat16),
+            "pet": jnp.asarray(rng.random(bshape, np.float32), jnp.bfloat16),
+            "info": jnp.asarray(rng.random((b, 1, 5), np.float32), jnp.bfloat16),
+        }
+        step = jax.jit(causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, cfg["training"]))
+        st = causal_task.init_state(
+            jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, cfg["training"], (1, *VOL, 1),
+            n_covariates=5,
+        )
+        st, m = step(st, bdata, jax.random.key(1))
+        float(m["rec_pet_loss"])
+        st, m = step(st, bdata, jax.random.key(2))
+        float(m["rec_pet_loss"])
+        jax.profiler.start_trace(TRACE_DIR)
+        for i in range(3):
+            st, m = step(st, bdata, jax.random.key(3 + i))
+        float(m["rec_pet_loss"])
+        jax.profiler.stop_trace()
+        _summarize()
+        return
     if which == "pet":
         grad = jax.jit(jax.grad(lambda p: l1_loss(pet_dec.apply(p, z, info), pet)))
         params = gp["pet_decoder"]
@@ -63,7 +88,10 @@ def main():
         out = grad(params)
     jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)).item()
     jax.profiler.stop_trace()
+    _summarize()
 
+
+def _summarize():
     paths = glob.glob(os.path.join(TRACE_DIR, "**", "*.trace.json.gz"), recursive=True)
     path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
