@@ -21,6 +21,7 @@ Reference anchors (for parity checking, /root/reference):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -153,6 +154,124 @@ class _GNScaleBias(nn.Module):
         return scale, bias
 
 
+def _gn_stats(parts, cs, p):
+    """Per-part fp32 channel moments, layout-agnostic (multi-axis reduce,
+    never a flattening reshape). Returns ((B, C) mean, (B, C) mean-square)."""
+    b = parts[0].shape[0]
+    ch_s1, ch_s2 = [], []
+    for part, ci in zip(parts, cs):
+        sp_axes = tuple(range(1, part.ndim - 1))
+        x32 = part.astype(jnp.float32)
+        s1 = checkpoint_name(jnp.mean(x32, axis=sp_axes), GN_STAT_NAME)  # (B, P*ci)
+        s2 = checkpoint_name(jnp.mean(jnp.square(x32), axis=sp_axes), GN_STAT_NAME)
+        ch_s1.append(s1.reshape(b, p, ci).mean(axis=1))  # (B, ci)
+        ch_s2.append(s2.reshape(b, p, ci).mean(axis=1))
+    s1c = ch_s1[0] if len(ch_s1) == 1 else jnp.concatenate(ch_s1, axis=-1)
+    s2c = ch_s2[0] if len(ch_s2) == 1 else jnp.concatenate(ch_s2, axis=-1)
+    return s1c, s2c
+
+
+def _gn_affine_apply(parts, cs, p, w_c, off_c):
+    """FMA each part with its (B, C) channel slice of w/off, broadcast over
+    the part's own rank (no reshape — layout-agnostic)."""
+    b = parts[0].shape[0]
+    outs, off = [], 0
+    for part, ci in zip(parts, cs):
+        wi = jax.lax.dynamic_slice_in_dim(w_c, off, ci, axis=1)
+        oi = jax.lax.dynamic_slice_in_dim(off_c, off, ci, axis=1)
+        bshape = (b,) + (1,) * (part.ndim - 2) + (p * ci,)
+        w_pc = jnp.tile(wi, (1, p)).reshape(bshape)
+        off_pc = jnp.tile(oi, (1, p)).reshape(bshape)
+        outs.append(part * w_pc.astype(part.dtype) + off_pc.astype(part.dtype))
+        off += ci
+    return tuple(outs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_core(parts, scale, bias, p, g, eps):
+    """Group norm over a tuple of channel-concat parts in the packed domain.
+
+    Forward: two fused fp32 reductions per part + tiny group combine + one
+    FMA pass. Backward (hand-written, see ``_gn_bwd``): two fused reductions
+    per part + one FMA pass with per-(B, C) fp32 coefficients — XLA autodiff
+    of the stats graph materialised an fp32 copy of the activation plus a
+    relayout/broadcast chain (measured ~10 ms per norm at causal batch 4)."""
+    y, _ = _gn_fwd(parts, scale, bias, p, g, eps)
+    return y
+
+
+def _gn_fwd(parts, scale, bias, p, g, eps):
+    cs = [part.shape[-1] // p for part in parts]
+    c = sum(cs)
+    gs = c // g
+    b = parts[0].shape[0]
+    s1c, s2c = _gn_stats(parts, cs, p)
+    mean_g = s1c.reshape(b, g, gs).mean(axis=2)  # (B, G)
+    meansq_g = s2c.reshape(b, g, gs).mean(axis=2)
+    inv = jax.lax.rsqrt(jnp.maximum(meansq_g - jnp.square(mean_g), 0.0) + eps)
+    w_c = (inv[:, :, None] * scale.reshape(g, gs)[None]).reshape(b, c)
+    off_c = (
+        bias.reshape(g, gs)[None]
+        - mean_g[:, :, None] * inv[:, :, None] * scale.reshape(g, gs)[None]
+    ).reshape(b, c)
+    y = _gn_affine_apply(parts, cs, p, w_c, off_c)
+    return y, (parts, scale, mean_g, inv)
+
+
+def _gn_bwd(p, g, eps, res, grads):
+    parts, scale, mean_g, inv = res  # mean_g/inv: (B, G) fp32
+    cs = [part.shape[-1] // p for part in parts]
+    c = sum(cs)
+    gs = c // g
+    b = parts[0].shape[0]
+    spatial = 1
+    for s in parts[0].shape[1:-1]:
+        spatial *= s
+    n = spatial * p * gs  # elements per (batch, group)
+
+    ch_g, ch_gx = [], []
+    for part, gr, ci in zip(parts, grads, cs):
+        sp_axes = tuple(range(1, part.ndim - 1))
+        sum_g = jnp.sum(gr.astype(jnp.float32), axis=sp_axes)  # (B, P*ci)
+        sum_gx = jnp.sum((gr * part).astype(jnp.float32), axis=sp_axes)
+        ch_g.append(sum_g.reshape(b, p, ci).sum(axis=1))  # (B, ci)
+        ch_gx.append(sum_gx.reshape(b, p, ci).sum(axis=1))
+    sum_g_c = ch_g[0] if len(ch_g) == 1 else jnp.concatenate(ch_g, axis=-1)  # (B, C)
+    sum_gx_c = ch_gx[0] if len(ch_gx) == 1 else jnp.concatenate(ch_gx, axis=-1)
+
+    gamma = scale[None]  # (1, C)
+    s1_g = (gamma * sum_g_c).reshape(b, g, gs).sum(axis=2)  # (B, G)
+    s2_g = (gamma * sum_gx_c).reshape(b, g, gs).sum(axis=2)
+    centered = s2_g - mean_g * s1_g
+    # dx = a*g + bb*x + cc (derivation: y = (x-mu)*inv*gamma + beta)
+    bb_g = -(inv**3) * centered / n  # (B, G)
+    cc_g = -inv * s1_g / n - bb_g * mean_g
+    inv_c = jnp.repeat(inv, gs, axis=1)  # (B, C)
+    a_c = inv_c * gamma
+    bb_c = jnp.repeat(bb_g, gs, axis=1)
+    cc_c = jnp.repeat(cc_g, gs, axis=1)
+
+    mean_c = jnp.repeat(mean_g, gs, axis=1)
+    d_scale = jnp.sum(inv_c * (sum_gx_c - mean_c * sum_g_c), axis=0)  # (C,)
+    d_bias = jnp.sum(sum_g_c, axis=0)
+
+    dparts, off = [], 0
+    for part, gr, ci in zip(parts, grads, cs):
+        ai = jax.lax.dynamic_slice_in_dim(a_c, off, ci, axis=1)
+        bi = jax.lax.dynamic_slice_in_dim(bb_c, off, ci, axis=1)
+        ci_ = jax.lax.dynamic_slice_in_dim(cc_c, off, ci, axis=1)
+        bshape = (b,) + (1,) * (part.ndim - 2) + (p * ci,)
+        a_pc = jnp.tile(ai, (1, p)).reshape(bshape).astype(gr.dtype)
+        b_pc = jnp.tile(bi, (1, p)).reshape(bshape).astype(gr.dtype)
+        c_pc = jnp.tile(ci_, (1, p)).reshape(bshape).astype(gr.dtype)
+        dparts.append(gr * a_pc + part * b_pc + c_pc)
+        off += ci
+    return tuple(dparts), d_scale, d_bias
+
+
+_gn_core.defvjp(_gn_fwd, _gn_bwd)
+
+
 class GroupNorm(nn.Module):
     """Group normalisation with fp32 statistics and activation-dtype apply.
 
@@ -193,41 +312,10 @@ class GroupNorm(nn.Module):
         cs = [part.shape[-1] // p for part in parts]
         c = sum(cs)
         g = self.num_groups
-        gs = c // g
         if c % g:
             raise ValueError(f"channels {c} not divisible by num_groups {g}")
         scale, bias = _GNScaleBias(c, name="GroupNorm_0")()
-
-        b = parts[0].shape[0]
-        ch_s1, ch_s2 = [], []
-        for part, ci in zip(parts, cs):
-            xr = part.reshape(b, -1, p * ci)
-            x32 = xr.astype(jnp.float32)
-            s1 = checkpoint_name(jnp.mean(x32, axis=1), GN_STAT_NAME)  # (B, P*ci)
-            s2 = checkpoint_name(jnp.mean(jnp.square(x32), axis=1), GN_STAT_NAME)
-            ch_s1.append(s1.reshape(b, p, ci).mean(axis=1))  # (B, ci)
-            ch_s2.append(s2.reshape(b, p, ci).mean(axis=1))
-        s1c = ch_s1[0] if len(ch_s1) == 1 else jnp.concatenate(ch_s1, axis=-1)  # (B, C) tiny
-        s2c = ch_s2[0] if len(ch_s2) == 1 else jnp.concatenate(ch_s2, axis=-1)
-        mean_g = s1c.reshape(b, g, gs).mean(axis=2)  # (B, G)
-        meansq_g = s2c.reshape(b, g, gs).mean(axis=2)
-        inv = jax.lax.rsqrt(jnp.maximum(meansq_g - jnp.square(mean_g), 0.0) + self.epsilon)
-        w_c = (inv[:, :, None] * scale.reshape(g, gs)[None]).reshape(b, c)  # (B, C) fp32
-        off_c = (
-            bias.reshape(g, gs)[None]
-            - mean_g[:, :, None] * inv[:, :, None] * scale.reshape(g, gs)[None]
-        ).reshape(b, c)
-
-        outs, off = [], 0
-        for part, ci in zip(parts, cs):
-            wi = jax.lax.dynamic_slice_in_dim(w_c, off, ci, axis=1)
-            oi = jax.lax.dynamic_slice_in_dim(off_c, off, ci, axis=1)
-            w_pc = jnp.tile(wi, (1, p))[:, None, :]
-            off_pc = jnp.tile(oi, (1, p))[:, None, :]
-            xr = part.reshape(b, -1, p * ci)
-            y = xr * w_pc.astype(part.dtype) + off_pc.astype(part.dtype)
-            outs.append(y.reshape(part.shape))
-            off += ci
+        outs = _gn_core(parts, scale, bias, p, g, self.epsilon)
         return outs[0] if not isinstance(x, (tuple, list)) else tuple(outs)
 
 

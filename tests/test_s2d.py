@@ -360,3 +360,69 @@ def test_diffusion_decoder_s2d_32ch_equivalence():
         np.asarray(plain.apply(params, z, ctx)),
         atol=2e-5, rtol=2e-5,
     )
+
+
+def test_groupnorm_custom_vjp_grad_parity():
+    """Hand-written GN VJP == autodiff of the plain normalisation formula,
+    for packed/unpacked, single/dual-part (incl. a group straddling the part
+    boundary), for dx, dscale, dbias."""
+    from cips_tpu.models.blocks import _gn_core
+
+    def ref_gn(parts, scale, bias, p, g, eps):
+        # plain formula on the channel-concat, phase folded into spatial
+        cat = jnp.concatenate(
+            [pt.reshape(pt.shape[0], -1, p, pt.shape[-1] // p) for pt in parts], axis=-1
+        )  # (B, S, P, C)
+        b, s, _, c = cat.shape
+        gs = c // g
+        xg = cat.reshape(b, s, p, g, gs)
+        mu = xg.mean(axis=(1, 2, 4), keepdims=True)
+        var = jnp.square(xg - mu).mean(axis=(1, 2, 4), keepdims=True)
+        y = (xg - mu) / jnp.sqrt(var + eps)
+        y = y.reshape(b, s, p, c) * scale[None, None, None] + bias[None, None, None]
+        return y
+
+    rng = np.random.default_rng(7)
+    cases = [
+        # (part channel splits, phases, groups)
+        ([8], 1, 4),
+        ([8], 4, 4),
+        ([6, 2], 1, 4),   # group straddles the 6|2 boundary (gs=2)
+        ([4, 4], 2, 2),
+    ]
+    for cs, p, g in cases:
+        c = sum(cs)
+        parts = tuple(
+            jnp.asarray(rng.standard_normal((2, 3, 4, 2, p * ci)), jnp.float32) for ci in cs
+        )
+        scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        cotan = tuple(
+            jnp.asarray(rng.standard_normal(pt.shape), jnp.float32) for pt in parts
+        )
+
+        def loss_custom(parts, scale, bias):
+            outs = _gn_core(parts, scale, bias, p, g, 1e-6)
+            return sum(jnp.vdot(o, ct) for o, ct in zip(outs, cotan))
+
+        def loss_ref(parts, scale, bias):
+            y = ref_gn(parts, scale, bias, p, g, 1e-6)
+            ct = jnp.concatenate(
+                [t.reshape(t.shape[0], -1, p, t.shape[-1] // p) for t in cotan], axis=-1
+            )
+            return jnp.vdot(y, ct)
+
+        out_c = [np.asarray(o) for o in _gn_core(parts, scale, bias, p, g, 1e-6)]
+        y_ref = np.asarray(ref_gn(parts, scale, bias, p, g, 1e-6))
+        off = 0
+        for o, ci in zip(out_c, cs):
+            o4 = o.reshape(o.shape[0], -1, p, ci)
+            np.testing.assert_allclose(o4, y_ref[..., off : off + ci], atol=1e-5, rtol=1e-5)
+            off += ci
+
+        gc = jax.grad(loss_custom, argnums=(0, 1, 2))(parts, scale, bias)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(parts, scale, bias)
+        for a, b_ in zip(gc[0], gr[0]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gr[1]), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gc[2]), np.asarray(gr[2]), atol=1e-4, rtol=1e-4)
