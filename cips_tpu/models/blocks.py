@@ -154,6 +154,20 @@ class _GNScaleBias(nn.Module):
         return scale, bias
 
 
+def _sum_pair(a, b, axes):
+    """ONE variadic reduce over both operands: a single traversal of the
+    activation with the converts/squares fused into the reduce. Two sibling
+    `jnp.mean` reductions instead CSE their f32 convert into a materialised
+    fp32 copy of the tensor (plus a relayout) — measured ~7 ms per norm at
+    the causal level-0 shape."""
+    zero = jnp.float32(0)
+
+    def comb(acc, val):
+        return acc[0] + val[0], acc[1] + val[1]
+
+    return jax.lax.reduce((a, b), (zero, zero), comb, axes)
+
+
 def _gn_stats(parts, cs, p):
     """Per-part fp32 channel moments, layout-agnostic (multi-axis reduce,
     never a flattening reshape). Returns ((B, C) mean, (B, C) mean-square)."""
@@ -161,9 +175,13 @@ def _gn_stats(parts, cs, p):
     ch_s1, ch_s2 = [], []
     for part, ci in zip(parts, cs):
         sp_axes = tuple(range(1, part.ndim - 1))
+        n = 1
+        for s in part.shape[1:-1]:
+            n *= s
         x32 = part.astype(jnp.float32)
-        s1 = checkpoint_name(jnp.mean(x32, axis=sp_axes), GN_STAT_NAME)  # (B, P*ci)
-        s2 = checkpoint_name(jnp.mean(jnp.square(x32), axis=sp_axes), GN_STAT_NAME)
+        t1, t2 = _sum_pair(x32, jnp.square(x32), sp_axes)
+        s1 = checkpoint_name(t1 / n, GN_STAT_NAME)  # (B, P*ci)
+        s2 = checkpoint_name(t2 / n, GN_STAT_NAME)
         ch_s1.append(s1.reshape(b, p, ci).mean(axis=1))  # (B, ci)
         ch_s2.append(s2.reshape(b, p, ci).mean(axis=1))
     s1c = ch_s1[0] if len(ch_s1) == 1 else jnp.concatenate(ch_s1, axis=-1)
@@ -232,8 +250,8 @@ def _gn_bwd(p, g, eps, res, grads):
     ch_g, ch_gx = [], []
     for part, gr, ci in zip(parts, grads, cs):
         sp_axes = tuple(range(1, part.ndim - 1))
-        sum_g = jnp.sum(gr.astype(jnp.float32), axis=sp_axes)  # (B, P*ci)
-        sum_gx = jnp.sum((gr * part).astype(jnp.float32), axis=sp_axes)
+        g32 = gr.astype(jnp.float32)
+        sum_g, sum_gx = _sum_pair(g32, g32 * part.astype(jnp.float32), sp_axes)  # (B, P*ci)
         ch_g.append(sum_g.reshape(b, p, ci).sum(axis=1))  # (B, ci)
         ch_gx.append(sum_gx.reshape(b, p, ci).sum(axis=1))
     sum_g_c = ch_g[0] if len(ch_g) == 1 else jnp.concatenate(ch_g, axis=-1)  # (B, C)
