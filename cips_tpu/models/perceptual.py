@@ -163,7 +163,10 @@ class LPIPS(nn.Module):
 
     Returns the per-sample distance (B,). Input is (B, H, W, C) with C == 1
     (broadcast to RGB by the scaling layer, matching torch broadcasting of
-    the (1,3,1,1) shift/scale against a 1-channel tensor) or C == 3.
+    the (1,3,1,1) shift/scale against a 1-channel tensor) or C == 3, or a
+    3-D grayscale (B, H, W) — the unit channel then only ever exists inside
+    the fused scaling broadcast, never as a stored (…, 1)-minor tensor
+    (which TPU layouts pad to the 128-lane tile).
     """
 
     network_type: str = "squeeze"
@@ -184,6 +187,8 @@ class LPIPS(nn.Module):
         scale = jnp.asarray(_SCALE, jnp.float32)
 
         def scaled(x):
+            if x.ndim == 3:  # grayscale (B, H, W): channel born inside the
+                x = x[..., None]  # fused broadcast-subtract, never a stored
             return ((x.astype(jnp.float32) - shift) / scale).astype(self.dtype)
 
         fa = net(scaled(a))
@@ -237,15 +242,29 @@ class PerceptualLoss(nn.Module):
 
         n, d, h, w, c = pred.shape
         total = jnp.float32(0.0)
+        # A unit channel is squeezed away BEFORE the axis transposes: a
+        # transposed copy with the size-1 channel minor pads it to the
+        # 128-lane tile (64-128x HBM expansion — the largest allocation in
+        # the causal batch-4 step was a 576 MB copy of the 9 MB PET batch).
+        # Squeezed, every transposed copy has a real spatial axis minor and
+        # LPIPS takes the grayscale 3-D view directly.
+        squeeze = c == 1
+        p5 = pred[..., 0] if squeeze else pred
+        t5 = target[..., 0] if squeeze else target
+
+        def as_lpips(x, sh, sw):
+            return x.reshape((-1, sh, sw) if squeeze else (-1, sh, sw, c))
+
         if rng is not None:
             keys = jax.random.split(rng, 3)
-            orders = ((0, 1, 2, 3, 4), (0, 2, 1, 3, 4), (0, 3, 1, 2, 4))
+            base = (0, 1, 2, 3) if squeeze else (0, 1, 2, 3, 4)
+            orders = (base, (0, 2, 1) + base[3:], (0, 3, 1, 2) + base[4:])
             for key, order in zip(keys, orders):
-                pa = pred.transpose(order)
-                ta = target.transpose(order)
+                pa = p5.transpose(order)
+                ta = t5.transpose(order)
                 sh, sw = pa.shape[2], pa.shape[3]
-                pa = pa.reshape(-1, sh, sw, c)
-                ta = ta.reshape(-1, sh, sw, c)
+                pa = as_lpips(pa, sh, sw)
+                ta = as_lpips(ta, sh, sw)
                 m = pa.shape[0]
                 keep = max(1, int(m * self.fake_3d_ratio))
                 idx = jax.random.choice(key, m, (keep,), replace=False)
@@ -254,21 +273,15 @@ class PerceptualLoss(nn.Module):
 
         s = max(1, round(1.0 / self.fake_3d_ratio))
         # one batched 2-D LPIPS call per axis; slices fold into batch
+        t2 = (0, 2, 1, 3) if squeeze else (0, 2, 1, 3, 4)
+        t3 = (0, 3, 1, 2) if squeeze else (0, 3, 1, 2, 4)
         views = (
-            (pred[:, ::s], target[:, ::s], (h, w)),
-            (
-                pred[:, :, ::s].transpose(0, 2, 1, 3, 4),
-                target[:, :, ::s].transpose(0, 2, 1, 3, 4),
-                (d, w),
-            ),
-            (
-                pred[:, :, :, ::s].transpose(0, 3, 1, 2, 4),
-                target[:, :, :, ::s].transpose(0, 3, 1, 2, 4),
-                (d, h),
-            ),
+            (p5[:, ::s], t5[:, ::s], (h, w)),
+            (p5[:, :, ::s].transpose(t2), t5[:, :, ::s].transpose(t2), (d, w)),
+            (p5[:, :, :, ::s].transpose(t3), t5[:, :, :, ::s].transpose(t3), (d, h)),
         )
         for pa, ta, (sh, sw) in views:
-            total = total + jnp.mean(lpips(pa.reshape(-1, sh, sw, c), ta.reshape(-1, sh, sw, c)))
+            total = total + jnp.mean(lpips(as_lpips(pa, sh, sw), as_lpips(ta, sh, sw)))
         return total
 
 
