@@ -17,6 +17,7 @@ causal 0.8, classifier 4.0. vs_baseline = ours / anchor.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -41,7 +42,13 @@ def main():
         bench_all.bench_classifier,
         bench_all.bench_flagship,
     ):
-        metric, vps, anchor = fn(rng)
+        try:
+            metric, vps, anchor = fn(rng)
+        except Exception as e:  # noqa: BLE001 — one workload must not kill the rest
+            print(f"bench {fn.__name__} FAILED: {type(e).__name__}: {e}"[:400], file=sys.stderr, flush=True)
+            gc.collect()
+            continue
+        gc.collect()  # free the workload's device buffers before the next one
         per_chip = vps / jax.device_count()
         row = {
             "metric": metric,
