@@ -156,5 +156,12 @@ class PatchDiscriminator(nn.Module):
         features.append(h)
 
         logits = conv(self.out_channels, 1, "conv_out")(h)
+        if 0 in logits.shape:
+            # same loud failure as BMGANDiscriminator: an empty patch map
+            # otherwise flows into a mean() and surfaces as a silent NaN loss
+            raise ValueError(
+                f"empty patch-logit map {logits.shape}: input too small for "
+                f"num_layers_d={self.num_layers_d} (k={self.kernel_size})"
+            )
         features.append(logits)
         return features

@@ -7,6 +7,10 @@ generator) — on the same synthetic structured batch and seed, and prints
 the g/d loss trajectories plus step-time cost of the extra forward.
 
   python scripts/probe_exact_dfake.py [flagship|causal|bmgan]
+
+NOTE: volumes below ~(32,32,32) make the patch discriminators' logit maps
+empty (now a loud ValueError rather than a silent NaN mean) — keep VOL at
+half-volume scale.
 """
 
 from __future__ import annotations
