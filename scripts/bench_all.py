@@ -96,22 +96,32 @@ def bench_causal(rng):
 
     cfg = common.load_config(None, "training_causal.json")
     enc, t1_dec, pet_dec, disc, perc = causal_task.build_models(cfg, n_covariates=5, dtype=jnp.bfloat16)
-    b = 4  # best measured round-3 config (conv_all saves + packed encoder level 0)
-    shape = (b, *VOL, 1)
-    state = causal_task.init_state(
-        jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, cfg["training"], (1, *VOL, 1), n_covariates=5
-    )
-    batch = {
-        "t1": _rand(rng, shape),
-        "pet": _rand(rng, shape),
-        "info": _rand(rng, (b, 1, 5)),
-    }
     step = jax.jit(
         causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, cfg["training"]),
         donate_argnums=0,
     )
-    dt = _measure(step, state, (batch, jax.random.key(1)), lambda m: float(m["rec_pet_loss"]))
-    return "causal_synthesis_train_throughput", b / dt, 0.8
+    # batch 4 fits again after the perceptual fake-3d channel squeeze but
+    # HBM is marginal there; fall back to the proven batch-2 config rather
+    # than lose the causal line to an OOM (bench.py isolates failures, but
+    # a missing line hides regressions).
+    last_err = None
+    for b in (4, 2):
+        shape = (b, *VOL, 1)
+        state = causal_task.init_state(
+            jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, cfg["training"], (1, *VOL, 1), n_covariates=5
+        )
+        batch = {
+            "t1": _rand(rng, shape),
+            "pet": _rand(rng, shape),
+            "info": _rand(rng, (b, 1, 5)),
+        }
+        try:
+            dt = _measure(step, state, (batch, jax.random.key(1)), lambda m: float(m["rec_pet_loss"]))
+        except Exception as e:  # noqa: BLE001 — OOM at the marginal batch
+            last_err = e
+            continue
+        return "causal_synthesis_train_throughput", b / dt, 0.8
+    raise last_err
 
 
 def bench_classifier(rng):
