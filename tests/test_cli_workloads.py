@@ -165,7 +165,10 @@ def test_train_unet_random_crop_cli(tree, tmp_path):
             "attention_levels": [False, True], "norm_num_groups": 8,
             "resblock_updown": True, "num_head_channels": [0, 4],
         },
-        "discriminator": {"num_channels": 8, "num_layers_d": 1},
+        # kernel_size 3: at the (4,8,4) crop the default k=4 discriminator's
+        # patch-logit map is EMPTY — it silently trained on NaN adversarial
+        # losses until PatchDiscriminator grew its loud empty-map guard
+        "discriminator": {"num_channels": 8, "num_layers_d": 1, "kernel_size": 3},
         "perceptual_network": {"spatial_dims": 3},
         "training": {"base_lr": 1e-3, "disc_lr": 1e-4, "perceptual_weight": 0, "adv_weight": 0.1},
     }
