@@ -168,11 +168,12 @@ def classifier(steps=40):
         "info": jnp.asarray(info),
         "labels": jnp.asarray(labels),
     }
-    ce = []
+    ce, acc = [], []
     for i in range(steps):
         state, m = step(state, batch, jax.random.key(i))
         ce.append(float(m["ce_loss"]))
-    return {"ce_loss": ce}
+        acc.append(float(m["accuracy"]))
+    return {"ce_loss": ce, "accuracy": acc}
 
 
 def main():
