@@ -42,5 +42,12 @@ try:  # pragma: no cover - depends on jax runtime state
 
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # CIPS_PLATFORM=cpu forces the backend for CLI subprocesses. The ambient
+    # JAX_PLATFORMS env var is clobbered by the hosting environment's
+    # interpreter bootstrap, so only the config-level override is reliable
+    # (e.g. running preprocessing/metrics CLIs while the TPU is busy or the
+    # tunnel is down).
+    if _os.environ.get("CIPS_PLATFORM"):
+        _jax.config.update("jax_platforms", _os.environ["CIPS_PLATFORM"])
 except Exception:
     pass

@@ -21,6 +21,7 @@ Reference anchors (for parity checking, /root/reference):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence
 
@@ -159,7 +160,11 @@ def _sum_pair(a, b, axes):
     activation with the converts/squares fused into the reduce. Two sibling
     `jnp.mean` reductions instead CSE their f32 convert into a materialised
     fp32 copy of the tensor (plus a relayout) — measured ~7 ms per norm at
-    the causal level-0 shape."""
+    the causal level-0 shape. CIPS_GN_NO_VREDUCE=1 falls back to the two
+    plain sums (escape hatch while the variadic lowering lacks a TPU
+    measurement; scripts/probe_gn_vreduce.py is the probe)."""
+    if os.environ.get("CIPS_GN_NO_VREDUCE"):
+        return jnp.sum(a, axes), jnp.sum(b, axes)
     zero = jnp.float32(0)
 
     def comb(acc, val):
