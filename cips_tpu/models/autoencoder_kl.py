@@ -115,6 +115,9 @@ class Decoder(nn.Module):
     remat: bool = False  # jax.checkpoint resnet stages
     remat_policy: str = "conv"  # see models/blocks.conv_save_policy
     s2d: bool = False  # space-to-depth finest level (exact)
+    # "finest" (measured default) or "all": also pack attention-free
+    # non-finest levels whose channel count admits a factor (decoder.py).
+    s2d_levels: str = "finest"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,25 +155,37 @@ class Decoder(nn.Module):
         f0 = auto_factor(rev_channels[-1]) if self.s2d else None
         if self.s2d and f0 is None:
             raise ValueError("s2d finest level needs a 128-lane-compatible channel count")
+        # Per-level factors (decoder.py convention): level 0 stays unpacked
+        # (conv_in / optional nonlocal attention live there).
+        fs: list = [None] * n
+        if self.s2d:
+            fs[n - 1] = f0
+            if self.s2d_levels == "all":
+                for i in range(1, n - 1):
+                    fs[i] = auto_factor(rev_channels[i])
+            elif self.s2d_levels != "finest":
+                raise ValueError(f"unknown s2d_levels {self.s2d_levels!r}")
         for i in range(n):
-            finest_packed = self.s2d and i == n - 1
             for j in range(rev_res[i]):
                 h = res_cls(
                     spatial_dims=self.spatial_dims,
                     out_channels=rev_channels[i],
                     norm_num_groups=self.norm_num_groups,
                     norm_eps=self.norm_eps,
-                    f_in=f0 if finest_packed else None,
-                    f_out=f0 if finest_packed else None,
+                    f_in=fs[i],
+                    f_out=fs[i],
                     dtype=self.dtype,
                     name=f"up_{i}_res_{j}",
                 )(h)
             if i != n - 1:
-                if self.s2d and i == n - 2:
+                if fs[i + 1] is not None:
                     h = PackedUpsample(
-                        out_channels=rev_channels[i], f_out=f0, dtype=self.dtype, name=f"up_{i}_us"
+                        out_channels=rev_channels[i], f_in=fs[i], f_out=fs[i + 1],
+                        dtype=self.dtype, name=f"up_{i}_us",
                     )(h)
                 else:
+                    if fs[i] is not None:
+                        h = depth_to_space(h, fs[i])
                     h = Upsample(
                         spatial_dims=self.spatial_dims,
                         use_conv=True,

@@ -63,6 +63,11 @@ class DiffusionModelDecoder(nn.Module):
     # also saves unpacked conv outputs (the right default for mostly
     # unpacked models — the causal trio's backward was 4-5x fwd under "conv")
     s2d: bool = False  # space-to-depth finest level (exact; no attention there)
+    # "finest": pack only the last level (measured default). "all": also pack
+    # every attention-free NON-finest level whose channel count admits a
+    # factor (64 -> (2,1,1)) — full 128-lane occupancy on the middle levels
+    # at 2x issued MACs (ops/s2d.py). Exact either way; identical parameters.
+    s2d_levels: str = "finest"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,6 +85,18 @@ class DiffusionModelDecoder(nn.Module):
         f0 = auto_factor(self.num_channels[-1]) if self.s2d else None
         if self.s2d and f0 is None:
             raise ValueError("s2d finest level needs a 128-lane-compatible channel count")
+        # Per-level packing factors. Level 0 always runs unpacked (it hosts
+        # conv_in and the attention-bearing mid block); attention levels
+        # cannot pack (token grid changes).
+        fs: list = [None] * n
+        if self.s2d:
+            fs[n - 1] = f0
+            if self.s2d_levels == "all":
+                for i in range(1, n - 1):
+                    if not (self.attention_levels[i] and self.with_conditioning):
+                        fs[i] = auto_factor(self.num_channels[i])
+            elif self.s2d_levels != "finest":
+                raise ValueError(f"unknown s2d_levels {self.s2d_levels!r}")
         res_blocks = _tuplify(self.num_res_blocks, n)
         head_channels = _tuplify(self.num_head_channels, n)
 
@@ -112,15 +129,14 @@ class DiffusionModelDecoder(nn.Module):
         )(h, context, deterministic)
 
         for i in range(n):
-            finest_packed = self.s2d and i == n - 1
             for j in range(res_blocks[i]):
                 h = res_cls(
                     spatial_dims=self.spatial_dims,
                     out_channels=self.num_channels[i],
                     norm_num_groups=self.norm_num_groups,
                     norm_eps=self.norm_eps,
-                    f_in=f0 if finest_packed else None,
-                    f_out=f0 if finest_packed else None,
+                    f_in=fs[i],
+                    f_out=fs[i],
                     dtype=self.dtype,
                     name=f"up_{i}_resnet_{j}",
                 )(h)
@@ -140,7 +156,6 @@ class DiffusionModelDecoder(nn.Module):
                         name=f"up_{i}_attn_{j}",
                     )(h, context, deterministic)
             if i != n - 1:
-                to_packed = self.s2d and i == n - 2
                 if self.resblock_updown:
                     h = ResnetBlock(
                         spatial_dims=self.spatial_dims,
@@ -148,16 +163,19 @@ class DiffusionModelDecoder(nn.Module):
                         up=True,
                         norm_num_groups=self.norm_num_groups,
                         norm_eps=self.norm_eps,
-                        f_out=f0 if to_packed else None,
+                        f_in=fs[i],
+                        f_out=fs[i + 1],
                         dtype=self.dtype,
                         name=f"up_{i}_upsampler",
                     )(h)
-                elif to_packed:
+                elif fs[i + 1] is not None:
                     h = PackedUpsample(
-                        out_channels=self.num_channels[i], f_out=f0, dtype=self.dtype,
-                        name=f"up_{i}_upsampler",
+                        out_channels=self.num_channels[i], f_in=fs[i], f_out=fs[i + 1],
+                        dtype=self.dtype, name=f"up_{i}_upsampler",
                     )(h)
                 else:
+                    if fs[i] is not None:
+                        h = depth_to_space(h, fs[i])
                     h = Upsample(
                         spatial_dims=self.spatial_dims,
                         use_conv=True,

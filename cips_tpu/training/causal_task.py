@@ -24,6 +24,7 @@ The reference's stale-`t1_rec` eval bug (:330) is not replicated.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
@@ -77,6 +78,10 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
     t1_dec_def.setdefault("s2d", t1_dec_def.get("spatial_dims", 3) == 3
                            and len(t1_dec_def.get("num_channels", [])) >= 2
                            and auto_factor(min(t1_dec_def.get("num_channels", [999]))) is not None)
+    # CIPS_S2D_LEVELS=all packs the decoders' attention-free middle levels
+    # too ((2,1,1) at 64ch) — probe knob pending a TPU measurement
+    s2d_levels = os.environ.get("CIPS_S2D_LEVELS", "finest")
+    t1_dec_def.setdefault("s2d_levels", s2d_levels)
     t1_decoder = Decoder(dtype=dtype, **t1_dec_def)
 
     pet_def = dict(model_cfg["pet_decoder_def"])
@@ -87,6 +92,7 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
                        and len(pet_def.get("num_channels", [])) >= 2
                        and not list(pet_def.get("attention_levels", [True]))[-1]
                        and auto_factor(list(pet_def.get("num_channels", [999]))[-1]) is not None)
+    pet_def.setdefault("s2d_levels", s2d_levels)
     pet_decoder = DiffusionModelDecoder(dtype=dtype, **pet_def)
 
     discriminator = PatchDiscriminator(dtype=dtype, **model_cfg.get("discriminator", {}))

@@ -426,3 +426,81 @@ def test_groupnorm_custom_vjp_grad_parity():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gr[1]), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(gc[2]), np.asarray(gr[2]), atol=1e-4, rtol=1e-4)
+
+
+def test_diffusion_decoder_s2d_all_levels_equivalence():
+    """s2d_levels="all" packs the attention-free MIDDLE level too
+    ((2,1,1) at the causal pet-decoder's 64-channel middle level, here 48ch
+    at toy scale) — identical function, identical parameter tree."""
+    from cips_tpu.models.decoder import DiffusionModelDecoder
+
+    kwargs = dict(
+        in_channels=3,
+        out_channels=1,
+        num_channels=(16, 48, 8),
+        num_res_blocks=1,
+        attention_levels=(True, False, False),
+        norm_num_groups=8,
+        num_head_channels=(8, 0, 0),
+        with_conditioning=True,
+        cross_attention_dim=4,
+    )
+    plain = DiffusionModelDecoder(**kwargs)
+    packed = DiffusionModelDecoder(s2d=True, s2d_levels="all", **kwargs)
+    rng = np.random.default_rng(14)
+    z = jnp.asarray(rng.standard_normal((1, 2, 4, 2, 3)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 4)), jnp.float32)
+    params = plain.init(jax.random.key(0), z, ctx)
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(params, z, ctx)),
+        np.asarray(plain.apply(params, z, ctx)),
+        atol=2e-5, rtol=2e-5,
+    )
+
+
+def test_diffusion_decoder_s2d_all_levels_resblock_updown():
+    """Mixed-factor up transitions through ResnetBlock(up=True):
+    None -> (2,1,1) -> (2,2,2) across the three levels."""
+    from cips_tpu.models.decoder import DiffusionModelDecoder
+
+    kwargs = dict(
+        in_channels=3,
+        out_channels=1,
+        num_channels=(16, 48, 8),
+        num_res_blocks=1,
+        attention_levels=(True, False, False),
+        norm_num_groups=8,
+        num_head_channels=(8, 0, 0),
+        resblock_updown=True,
+        with_conditioning=True,
+        cross_attention_dim=4,
+    )
+    plain = DiffusionModelDecoder(**kwargs)
+    packed = DiffusionModelDecoder(s2d=True, s2d_levels="all", **kwargs)
+    rng = np.random.default_rng(15)
+    z = jnp.asarray(rng.standard_normal((1, 2, 4, 2, 3)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 4)), jnp.float32)
+    params = plain.init(jax.random.key(0), z, ctx)
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(params, z, ctx)),
+        np.asarray(plain.apply(params, z, ctx)),
+        atol=2e-5, rtol=2e-5,
+    )
+
+
+def test_vae_decoder_s2d_all_levels_equivalence():
+    """Decoder (t1 VAE side): reversed channels [48, 48, 8] -> middle level
+    packs (2,1,1), finest (2,2,2)."""
+    from cips_tpu.models.autoencoder_kl import Decoder
+
+    kwargs = dict(num_channels=(8, 48, 48), num_res_blocks=1, norm_num_groups=8)
+    plain = Decoder(**kwargs)
+    packed = Decoder(s2d=True, s2d_levels="all", **kwargs)
+    rng = np.random.default_rng(16)
+    z = jnp.asarray(rng.standard_normal((1, 2, 2, 2, 3)), jnp.float32)
+    params = plain.init(jax.random.key(0), z)
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(params, z)),
+        np.asarray(plain.apply(params, z)),
+        atol=2e-5, rtol=2e-5,
+    )
