@@ -561,11 +561,20 @@ class ResnetBlock(nn.Module):
         # its relayout never materialise (mirror of the fold-tile trick).
         fuse_pool = self.down and f_in == F8 and f_out is None
         if self.up and not fuse_tile:
-            x = repack_tile(x, f_in, f_out)
-            h = repack_tile(h, f_in, f_out)
+            if f_in is None and f_out is None:
+                # rank-generic path: repack_tile's packed domain is 3-D only
+                x = nearest_upsample_2x(x)
+                h = nearest_upsample_2x(h)
+            else:
+                x = repack_tile(x, f_in, f_out)
+                h = repack_tile(h, f_in, f_out)
         elif self.down and not fuse_pool:
-            x = repack_pool(x, f_in, f_out)
-            h = repack_pool(h, f_in, f_out)
+            if f_in is None and f_out is None:
+                x = avg_pool_2x(x)
+                h = avg_pool_2x(h)
+            else:
+                x = repack_pool(x, f_in, f_out)
+                h = repack_pool(h, f_in, f_out)
 
         if f_out is not None:
             h = checkpoint_name(
