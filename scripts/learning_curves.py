@@ -52,6 +52,20 @@ def _pair_batch(rng, b, k):
     return out
 
 
+EVAL_EVERY = 5
+
+
+def _eval_metrics(fake, pet):
+    """MAE + MS-SSIM (k5 sigma0.5 as in cli.output_predict; scale count
+    degrades gracefully at toy volumes) of generated vs target PET."""
+    from cips_tpu.ops.metrics import mae, ms_ssim
+
+    return (
+        float(mae(fake, pet)),
+        float(ms_ssim(fake[..., 0], pet[..., 0], kernel_size=5, sigma=0.5)),
+    )
+
+
 def flagship(steps=30):
     from cips_tpu.training.unet_synthesis import build_models, init_state, make_train_step
 
@@ -70,12 +84,22 @@ def flagship(steps=30):
     state = init_state(jax.random.key(0), g, d, p, tcfg, batch_shape=(2, *VOL, 1), n_covariates=3)
     step = jax.jit(make_train_step(g, d, p, tcfg))
     batch = _pair_batch(np.random.default_rng(0), 2, 3)
-    rec, dl = [], []
-    for _ in range(steps):
+    heldout = _pair_batch(np.random.default_rng(100), 2, 3)
+
+    @jax.jit
+    def gen(g_params, b):
+        return g.apply(g_params, b["t1"], b["info"])
+
+    rec, dl, emae, emsssim = [], [], [], []
+    for i in range(steps):
         state, m = step(state, batch)
         rec.append(float(m["rec_loss"]))
         dl.append(float(m["d_loss"]))
-    return {"rec_loss": rec, "d_loss": dl}
+        if (i + 1) % EVAL_EVERY == 0:
+            a, s = _eval_metrics(gen(state.g.params, heldout), heldout["pet"])
+            emae.append(a)
+            emsssim.append(s)
+    return {"rec_loss": rec, "d_loss": dl, "eval_mae": emae, "eval_ms_ssim": emsssim}
 
 
 def bmgan(steps=30):
@@ -95,13 +119,24 @@ def bmgan(steps=30):
     t1 = rng.random(shape, np.float32)
     batch = {"t1": jnp.asarray(t1),
              "pet": jnp.asarray(np.clip(t1 * 0.8 + 0.1 * rng.random(shape, np.float32), 0, 1))}
-    l1, dl, el = [], [], []
+    ev = jax.jit(bmgan_task.make_eval_step(g))
+    rng2 = np.random.default_rng(101)
+    t1h = rng2.random(shape, np.float32)
+    heldout = {"t1": jnp.asarray(t1h),
+               "pet": jnp.asarray(np.clip(t1h * 0.8 + 0.1 * rng2.random(shape, np.float32), 0, 1))}
+    l1, dl, el, emae, emsssim = [], [], [], [], []
     for i in range(steps):
         state, m = step(state, batch, jax.random.key(i))
         l1.append(float(m["l1_loss"]))
         dl.append(float(m["d_loss"]))
         el.append(float(m["e_loss"]))
-    return {"l1_loss": l1, "d_loss": dl, "e_loss": el}
+        if (i + 1) % EVAL_EVERY == 0:
+            em = ev(state, heldout, jax.random.key(1000))
+            a, s = _eval_metrics(em["fake"], heldout["pet"])
+            emae.append(a)
+            emsssim.append(s)
+    return {"l1_loss": l1, "d_loss": dl, "e_loss": el,
+            "eval_mae": emae, "eval_ms_ssim": emsssim}
 
 
 def causal(steps=30):
@@ -139,12 +174,20 @@ def causal(steps=30):
                                    tcfg, shape, n_covariates=4)
     step = jax.jit(causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, tcfg))
     batch = _pair_batch(np.random.default_rng(2), 2, 4)
-    pet, t1 = [], []
+    heldout = _pair_batch(np.random.default_rng(102), 2, 4)
+    ev = jax.jit(causal_task.make_eval_step(enc, t1_dec, pet_dec))
+    pet, t1, emae, emsssim = [], [], [], []
     for i in range(steps):
         state, m = step(state, batch, jax.random.key(i))
         pet.append(float(m["rec_pet_loss"]))
         t1.append(float(m["rec_t1_loss"]))
-    return {"rec_pet_loss": pet, "rec_t1_loss": t1}
+        if (i + 1) % EVAL_EVERY == 0:
+            em = ev(state, heldout, jax.random.key(1000))
+            a, s = _eval_metrics(em["fake"], heldout["pet"])
+            emae.append(a)
+            emsssim.append(s)
+    return {"rec_pet_loss": pet, "rec_t1_loss": t1,
+            "eval_mae": emae, "eval_ms_ssim": emsssim}
 
 
 def classifier(steps=40):
