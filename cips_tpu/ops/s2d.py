@@ -31,6 +31,7 @@ activations also cut HBM traffic and footprint.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Optional, Tuple
 
@@ -311,9 +312,117 @@ def packed_conv_phase(x: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
+@lru_cache(maxsize=None)
+def _halo_onehot(f: Factors) -> np.ndarray:
+    """0/1 placement matrix (Kz*Ky*Kx*P*P, 27) for `pack_conv_kernel_halo`.
+
+    Per packed axis (factor 2) the halo kernel has extent 2; tap a feeding
+    output phase p from input phase q realises original-tap index
+    t = p + q + 2a - 1 (live iff 0 <= t <= 2). Unpacked axes (factor 1) keep
+    extent 3 with t = a. Exactly 27 * P of the Kz*Ky*Kx*P*P slots are live
+    (each original tap lands once per output phase)."""
+    ks = tuple(2 if ff == 2 else 3 for ff in f)
+    p = phase_count(f)
+    fz, fy, fx = f
+    phases = [(a, b, c) for a in range(fz) for b in range(fy) for c in range(fx)]
+    m = np.zeros((ks[0] * ks[1] * ks[2] * p * p, 27), np.float32)
+    for pi, ph in enumerate(phases):
+        for qi, qh in enumerate(phases):
+            for az in range(ks[0]):
+                for ay in range(ks[1]):
+                    for ax in range(ks[2]):
+                        t = []
+                        for ff, pp, qq, aa in zip(f, ph, qh, (az, ay, ax)):
+                            t.append(pp + qq + 2 * aa - 1 if ff == 2 else aa)
+                        if all(0 <= ti <= 2 for ti in t):
+                            row = ((az * ks[1] + ay) * ks[2] + ax) * p * p + qi * p + pi
+                            m[row, (t[0] * 3 + t[1]) * 3 + t[2]] = 1.0
+    return m
+
+
+def pack_conv_kernel_halo(w: jax.Array, f: Factors = F8) -> jax.Array:
+    """(3,3,3,Cin,Cout) -> (Kz,Ky,Kx,P*Cin,P*Cout) halo kernel, K = 2 on
+    packed axes (3 on unpacked ones) — prod(K)/27 of the dense scattered
+    kernel's MACs (8/27 = 2.37x-of-minimum at (2,2,2))."""
+    k, _, _, cin, cout = w.shape
+    assert k == 3, "halo formulation exists for k=3 only"
+    p = phase_count(f)
+    ks = tuple(2 if ff == 2 else 3 for ff in f)
+    m = jnp.asarray(_halo_onehot(f), w.dtype)
+    big = (m @ w.reshape(27, cin * cout)).reshape(*ks, p, p, cin, cout)
+    big = big.transpose(0, 1, 2, 3, 5, 4, 6)  # (..., q, Cin, p, Cout)
+    return big.reshape(*ks, p * cin, p * cout)
+
+
+def _halo_realign(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: Factors) -> jax.Array:
+    """(B, Z+fz-1, Y+fy-1, X+fx-1, P*Cout) halo conv output -> packed
+    (B,Z,Y,X,P*Cout): output phase p takes the spatial slice offset by its
+    per-axis phase. Channel indices are untouched, so XLA lowers the whole
+    realign to one concat-of-slices fusion (~2 output-size HBM passes)."""
+    z, y, x = out_shape
+    fz, fy, fx = f
+    parts = []
+    for pz in range(fz):
+        for py in range(fy):
+            for px in range(fx):
+                pi = (pz * fy + py) * fx + px
+                parts.append(v[:, pz : pz + z, py : py + y, px : px + x, pi * cout : (pi + 1) * cout])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def packed_conv_halo(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
+    """Packed conv via the halo-output formulation: ONE k-2 VALID-style conv
+    over the (1,1)-padded packed input produces every output phase's windows
+    on a (Z+1, Y+1, X+1) halo grid; a static slice-concat realigns them.
+
+    Exact (== packed_conv_dense, tests/test_s2d.py). Issues prod(K)/27 of
+    the dense path's MACs (2.37x the mathematical minimum at (2,2,2) vs the
+    dense path's 8x) with full 128-lane contractions; the phase-shift
+    datapath — the cost that sank the input-side `packed_conv_phase` (8
+    pad+concat copies of the input) and the Mosaic kernel (VPU select
+    chains, BENCH_NOTES.md) — collapses to one output-side realign fusion."""
+    wp = pack_conv_kernel_halo(w.astype(x.dtype), f)
+    v = jax.lax.conv_general_dilated(
+        x,
+        wp,
+        (1, 1, 1),
+        [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return _halo_realign(v, x.shape[1:4], w.shape[-1], f)
+
+
+def packed_conv_tiled_halo(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
+    """`packed_conv_tiled` through the halo formulation: the tile's identical
+    input phases sum the halo kernel's q blocks (linearity), so the up-path
+    fold-tile conv drops to prod(K)/27 of its MACs too."""
+    k, _, _, cin, cout = w.shape
+    p = phase_count(f)
+    wp = pack_conv_kernel_halo(w.astype(x.dtype), f)
+    ks = wp.shape[:3]
+    folded = wp.reshape(*ks, p, cin, p * cout).sum(axis=3)
+    v = jax.lax.conv_general_dilated(
+        x,
+        folded,
+        (1, 1, 1),
+        [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return _halo_realign(v, x.shape[1:4], cout, f)
+
+
+# Production-path switch, read once at import (static under jit):
+#   CIPS_PACKED_CONV=halo  — the 2.37x-MAC halo formulation (k=3 sites)
+#   CIPS_PACKED_CONV=dense — the 8x-MAC dense scattered kernel (default
+#   until the halo path has a TPU measurement; see BENCH_NOTES.md).
+_PACKED_CONV_IMPL = os.environ.get("CIPS_PACKED_CONV", "dense")
+
+
 def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1, f: Factors = F8) -> jax.Array:
     """Convolution in the packed domain with an original-parameter kernel."""
     assert stride == 1, "packed domain only hosts stride-1 convs"
+    if _PACKED_CONV_IMPL == "halo" and w.shape[0] == 3:
+        return packed_conv_halo(x, w, f)
     return packed_conv_dense(x, w, f)
 
 
@@ -353,6 +462,8 @@ def packed_conv_tiled(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
     dominant batch>8 HBM allocation in the up path — never exists.
     x: (B, Z, Y, X, C) on the PACKED cell grid; returns (B, Z, Y, X, P*Cout).
     """
+    if _PACKED_CONV_IMPL == "halo" and w.shape[0] == 3:
+        return packed_conv_tiled_halo(x, w, f)
     k, _, _, cin, cout = w.shape
     p = phase_count(f)
     wp = pack_conv_kernel(w, f)  # (k,k,k,P*cin,P*cout)

@@ -504,3 +504,66 @@ def test_vae_decoder_s2d_all_levels_equivalence():
         np.asarray(plain.apply(params, z)),
         atol=2e-5, rtol=2e-5,
     )
+
+
+@pytest.mark.parametrize("f", [(2, 2, 2), (2, 2, 1), (2, 1, 1)])
+def test_packed_conv_halo_exact(f):
+    """Halo-output packed conv == full-grid conv, values AND grads.
+
+    The halo formulation (one k-2 conv + output-side slice/concat realign,
+    ops/s2d.packed_conv_halo) issues prod(K)/27 of the dense scattered
+    kernel's MACs; exactness covers borders (the zero halo must reproduce
+    the full grid's SAME-padding zeros)."""
+    from cips_tpu.ops.s2d import packed_conv_dense, packed_conv_halo
+
+    rng = np.random.default_rng(7)
+    p = f[0] * f[1] * f[2]
+    cin, cout = 3, 4
+    x = jnp.asarray(rng.standard_normal((2, 4 * f[0], 6 * f[1], 2 * f[2], cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)), jnp.float32) * 0.2
+    xp = space_to_depth(x, f)
+
+    y_full = _conv_full(x, w)
+    y_halo = depth_to_space(packed_conv_halo(xp, w, f), f)
+    np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_full), atol=2e-5)
+
+    # gradient exactness vs the dense scattered-kernel path
+    def loss_dense(xp_, w_):
+        return jnp.sum(jnp.sin(packed_conv_dense(xp_, w_, f)))
+
+    def loss_halo(xp_, w_):
+        return jnp.sum(jnp.sin(packed_conv_halo(xp_, w_, f)))
+
+    gx_d, gw_d = jax.grad(loss_dense, argnums=(0, 1))(xp, w)
+    gx_h, gw_h = jax.grad(loss_halo, argnums=(0, 1))(xp, w)
+    np.testing.assert_allclose(np.asarray(gx_h), np.asarray(gx_d), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gw_h), np.asarray(gw_d), atol=2e-4)
+
+
+@pytest.mark.parametrize("f", [(2, 2, 2), (2, 2, 1), (2, 1, 1)])
+def test_packed_conv_tiled_halo_exact(f):
+    """Fold-tile conv through the halo formulation == the dense fold-tile."""
+    from cips_tpu.ops.s2d import packed_conv_tiled, packed_conv_tiled_halo
+
+    rng = np.random.default_rng(8)
+    cin, cout = 3, 2
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 2, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)), jnp.float32) * 0.2
+    y_ref = packed_conv_tiled(x, w, f)
+    y_halo = packed_conv_tiled_halo(x, w, f)
+    np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_ref), atol=2e-5)
+
+
+def test_packed_conv_halo_switch(monkeypatch):
+    """CIPS_PACKED_CONV=halo routes k=3 sites to the halo path and leaves
+    k=1 convs (no halo formulation) on the dense path."""
+    from cips_tpu.ops import s2d
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 8, 6, 4, 2)), jnp.float32)
+    xp = space_to_depth(x)
+    monkeypatch.setattr(s2d, "_PACKED_CONV_IMPL", "halo")
+    for k in (3, 1):
+        w = jnp.asarray(rng.standard_normal((k, k, k, 2, 2)), jnp.float32) * 0.2
+        y = depth_to_space(s2d.packed_conv(xp, w))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(_conv_full(x, w)), atol=2e-5)
