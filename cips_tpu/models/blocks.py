@@ -376,7 +376,19 @@ class PackedConv(nn.Module):
         kernel_init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         w = self.param("kernel", kernel_init, (k, k, k, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        if self.tiled_input:
+        from cips_tpu.ops import s2d as _s2d
+
+        # Halo formulation (CIPS_PACKED_CONV=halo, k=3 packed-output sites):
+        # partial halo grids sum BEFORE the single realign fusion —
+        # realignment commutes with the sum by linearity.
+        use_halo = not self.pooled_input and _s2d.packed_conv_uses_halo(k)
+        if use_halo:
+            conv_fn = (
+                (lambda x_, w_, f: _s2d.packed_conv_tiled_halo(x_, w_, f, realign=False))
+                if self.tiled_input
+                else (lambda x_, w_, f: _s2d.packed_conv_halo(x_, w_, f, realign=False))
+            )
+        elif self.tiled_input:
             conv_fn = packed_conv_tiled
         elif self.pooled_input:
             conv_fn = packed_conv_pooled
@@ -389,6 +401,8 @@ class PackedConv(nn.Module):
             yi = conv_fn(part.astype(self.dtype), wi.astype(self.dtype), f=self.factors)
             y = yi if y is None else y + yi
             off += ci
+        if use_halo:
+            y = _s2d.halo_realign(y, parts[0].shape[1:4], self.features, self.factors)
         if self.pooled_input:  # unpacked output: plain bias
             return y + b.astype(y.dtype)
         return y + jnp.tile(b.astype(y.dtype), p)

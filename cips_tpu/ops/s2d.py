@@ -370,7 +370,7 @@ def _halo_realign(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: F
     return jnp.concatenate(parts, axis=-1)
 
 
-def packed_conv_halo(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
+def packed_conv_halo(x: jax.Array, w: jax.Array, f: Factors = F8, realign: bool = True) -> jax.Array:
     """Packed conv via the halo-output formulation: ONE k-2 VALID-style conv
     over the (1,1)-padded packed input produces every output phase's windows
     on a (Z+1, Y+1, X+1) halo grid; a static slice-concat realigns them.
@@ -380,7 +380,11 @@ def packed_conv_halo(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
     dense path's 8x) with full 128-lane contractions; the phase-shift
     datapath — the cost that sank the input-side `packed_conv_phase` (8
     pad+concat copies of the input) and the Mosaic kernel (VPU select
-    chains, BENCH_NOTES.md) — collapses to one output-side realign fusion."""
+    chains, BENCH_NOTES.md) — collapses to one output-side realign fusion.
+
+    ``realign=False`` returns the raw halo grid so multi-part callers
+    (skip-fusion tuple inputs) can sum partial halo outputs and realign
+    once (realignment commutes with the sum by linearity)."""
     wp = pack_conv_kernel_halo(w.astype(x.dtype), f)
     v = jax.lax.conv_general_dilated(
         x,
@@ -389,10 +393,12 @@ def packed_conv_halo(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
         [(1, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
+    if not realign:
+        return v
     return _halo_realign(v, x.shape[1:4], w.shape[-1], f)
 
 
-def packed_conv_tiled_halo(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
+def packed_conv_tiled_halo(x: jax.Array, w: jax.Array, f: Factors = F8, realign: bool = True) -> jax.Array:
     """`packed_conv_tiled` through the halo formulation: the tile's identical
     input phases sum the halo kernel's q blocks (linearity), so the up-path
     fold-tile conv drops to prod(K)/27 of its MACs too."""
@@ -408,6 +414,8 @@ def packed_conv_tiled_halo(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.A
         [(1, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
+    if not realign:
+        return v
     return _halo_realign(v, x.shape[1:4], cout, f)
 
 
@@ -418,10 +426,22 @@ def packed_conv_tiled_halo(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.A
 _PACKED_CONV_IMPL = os.environ.get("CIPS_PACKED_CONV", "dense")
 
 
+def packed_conv_uses_halo(k: int) -> bool:
+    """True when `packed_conv` would route a kernel-``k`` site through the
+    halo formulation (multi-part callers use this to sum raw halo grids and
+    realign once)."""
+    return _PACKED_CONV_IMPL == "halo" and k == 3
+
+
+def halo_realign(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: Factors = F8) -> jax.Array:
+    """Public alias of the halo-grid -> packed-output realign."""
+    return _halo_realign(v, out_shape, cout, f)
+
+
 def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1, f: Factors = F8) -> jax.Array:
     """Convolution in the packed domain with an original-parameter kernel."""
     assert stride == 1, "packed domain only hosts stride-1 convs"
-    if _PACKED_CONV_IMPL == "halo" and w.shape[0] == 3:
+    if packed_conv_uses_halo(w.shape[0]):
         return packed_conv_halo(x, w, f)
     return packed_conv_dense(x, w, f)
 

@@ -18,7 +18,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cips_tpu.ops.s2d import packed_conv, packed_conv_dense, space_to_depth
+from cips_tpu.ops.s2d import (
+    packed_conv_dense,
+    packed_conv_halo,
+    packed_conv_phase,
+    packed_conv_tiled,
+    packed_conv_tiled_halo,
+    space_to_depth,
+)
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
@@ -49,7 +56,8 @@ def main():
     variants = {
         "full-res k3 (C=16)": (full_conv, x_full),
         "packed dense k3": (packed_conv_dense, xp),
-        "packed phase k2": (packed_conv, xp),
+        "packed phase k2 (input-shift)": (packed_conv_phase, xp),
+        "packed halo k2 (output-realign)": (packed_conv_halo, xp),
     }
 
     for name, (fn, xin) in variants.items():
@@ -69,11 +77,25 @@ def main():
             flush=True,
         )
 
+    # fold-tile variants (up-path): unpacked (B,Z,Y,X,C) -> packed output
+    xt = jnp.asarray(rng.standard_normal((B, Z, Y, X, C)), jnp.bfloat16)
+    for name, fn in (("tiled dense k3", packed_conv_tiled), ("tiled halo k2", packed_conv_tiled_halo)):
+        f = jax.jit(fn)
+        t_fwd = timeit(f, xt, w)
+
+        def loss(x_, w_, fn_=fn):
+            return jnp.sum(fn_(x_, w_).astype(jnp.float32))
+
+        t_bwd = timeit(jax.jit(jax.grad(loss, argnums=1)), xt, w)
+        t_bwd_x = timeit(jax.jit(jax.grad(loss, argnums=0)), xt, w)
+        print(f"{name:32s} fwd {t_fwd*1e3:7.2f} ms   dW {t_bwd*1e3:7.2f} ms   dX {t_bwd_x*1e3:7.2f} ms", flush=True)
+
     # numerical cross-check on-device
     y_dense = jax.jit(packed_conv_dense)(xp, w)
-    y_phase = jax.jit(packed_conv)(xp, w)
-    err = float(jnp.max(jnp.abs(y_dense.astype(jnp.float32) - y_phase.astype(jnp.float32))))
-    print("max |dense - phase| =", err)
+    for name, fn in (("phase", packed_conv_phase), ("halo", packed_conv_halo)):
+        y = jax.jit(fn)(xp, w)
+        err = float(jnp.max(jnp.abs(y_dense.astype(jnp.float32) - y.astype(jnp.float32))))
+        print(f"max |dense - {name}| = {err}")
 
 
 if __name__ == "__main__":

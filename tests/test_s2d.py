@@ -554,6 +554,36 @@ def test_packed_conv_tiled_halo_exact(f):
     np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_ref), atol=2e-5)
 
 
+def test_packed_conv_module_halo_multipart(monkeypatch):
+    """PackedConv under CIPS_PACKED_CONV=halo sums RAW halo grids across
+    tuple parts and realigns once (models/blocks.PackedConv); values must
+    match the dense path for both packed and fold-tile inputs."""
+    from cips_tpu.models.blocks import PackedConv
+    from cips_tpu.ops import s2d
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((1, 4, 3, 2, 3 * 8)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, 4, 3, 2, 2 * 8)), jnp.float32)
+    m = PackedConv(features=4)
+    params = m.init(jax.random.key(0), (a, b))
+
+    monkeypatch.setattr(s2d, "_PACKED_CONV_IMPL", "dense")
+    y_dense = m.apply(params, (a, b))
+    monkeypatch.setattr(s2d, "_PACKED_CONV_IMPL", "halo")
+    y_halo = m.apply(params, (a, b))
+    np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_dense), atol=2e-5)
+
+    # fold-tile (unpacked pre-tile) input through the module
+    xt = jnp.asarray(rng.standard_normal((1, 4, 3, 2, 5)), jnp.float32)
+    mt = PackedConv(features=4, tiled_input=True)
+    pt = mt.init(jax.random.key(1), xt)
+    monkeypatch.setattr(s2d, "_PACKED_CONV_IMPL", "dense")
+    yt_dense = mt.apply(pt, xt)
+    monkeypatch.setattr(s2d, "_PACKED_CONV_IMPL", "halo")
+    yt_halo = mt.apply(pt, xt)
+    np.testing.assert_allclose(np.asarray(yt_halo), np.asarray(yt_dense), atol=2e-5)
+
+
 def test_packed_conv_halo_switch(monkeypatch):
     """CIPS_PACKED_CONV=halo routes k=3 sites to the halo path and leaves
     k=1 convs (no halo formulation) on the dense path."""
