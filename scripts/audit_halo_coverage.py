@@ -79,6 +79,39 @@ def main():
         }
         step = make_train_step(g, d, p, TRAIN_CFG, split_d=True)
         closed = jax.make_jaxpr(lambda s, b: step(s, b))(state, data)
+    elif which == "bmgan":
+        import jax.numpy as jnp
+
+        from cips_tpu.training import bmgan_task
+
+        g, e, d, p = bmgan_task.build_models(dtype=jnp.bfloat16)
+        shape = (batch, *vol, 1)
+        state = bmgan_task.init_state(jax.random.key(0), g, e, d, p, (1, *vol, 1), perceptual_weight=0.0)
+        data = {
+            "t1": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
+            "pet": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
+        }
+        step = bmgan_task.make_train_step(g, e, d, p, 20.0, 0.0)
+        closed = jax.make_jaxpr(lambda s, b, k: step(s, b, k))(state, data, jax.random.key(1))
+    elif which == "causal":
+        import jax.numpy as jnp
+
+        from cips_tpu.cli import common
+        from cips_tpu.training import causal_task
+
+        cfg = common.load_config(None, "training_causal.json")
+        enc, t1_dec, pet_dec, disc, perc = causal_task.build_models(cfg, n_covariates=5, dtype=jnp.bfloat16)
+        state = causal_task.init_state(
+            jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, cfg["training"], (1, *vol, 1), n_covariates=5
+        )
+        shape = (batch, *vol, 1)
+        data = {
+            "t1": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
+            "pet": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
+            "info": jnp.asarray(rng.random((batch, 1, 5), np.float32), jnp.bfloat16),
+        }
+        step = causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, cfg["training"])
+        closed = jax.make_jaxpr(lambda s, b, k: step(s, b, k))(state, data, jax.random.key(1))
     else:
         raise SystemExit(f"unknown target {which}")
 
@@ -86,7 +119,9 @@ def main():
     total = sum(hist.values())
     print(f"{total} conv sites (jaxpr, fwd only — backward adds transposes):")
     for (kshape, cin, cout, lhs), n in sorted(hist.items(), key=lambda kv: -kv[1]):
-        tag = "HALO" if max(kshape) == 2 else ("k1" if max(kshape) == 1 else "k3")
+        # Halo kernels have extent 2 on every packed axis (3 on unpacked
+        # ones); a dense k3 kernel never has a 2 anywhere.
+        tag = "k1" if max(kshape) == 1 else ("HALO" if 2 in kshape else "k3")
         print(f"  {n:3d}x {tag:4s} k={kshape} {cin:4d}->{cout:<4d} lhs={lhs}")
 
 
