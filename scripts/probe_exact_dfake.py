@@ -29,8 +29,11 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-VOL = (48, 64, 48)  # half volume: dynamics probe, not a throughput bench
-STEPS = 40
+# Half volume by default: a dynamics probe, not a throughput bench. On CPU
+# (tunnel down) CIPS_PROBE_VOL=32,32,32 keeps the patch-logit maps non-empty
+# while making 40 fwd+bwd steps per variant tractable on one core.
+VOL = tuple(int(v) for v in os.environ.get("CIPS_PROBE_VOL", "48,64,48").split(","))
+STEPS = int(os.environ.get("CIPS_PROBE_STEPS", "40"))
 
 
 def _structured(rng, shape):
@@ -115,7 +118,12 @@ def run_bmgan():
     from cips_tpu.training import bmgan_task
 
     rng = np.random.default_rng(2)
-    shape = (1, *VOL, 1)
+    # The dense UNet's stem + 5 dense levels need /32-divisible extents
+    # (the reference trains at (96,128,96): 3,4,3 cells at the coarsest),
+    # and the 4-layer k4-s2 patch discriminator's logit map is empty below
+    # 64: round the probe volume up accordingly.
+    vol = tuple(max(64, -(-v // 32) * 32) for v in VOL)
+    shape = (1, *vol, 1)
     g, e, d, p = bmgan_task.build_models(dtype=jnp.bfloat16)
     batch = {"t1": _structured(rng, shape), "pet": _structured(rng, shape)}
     keys = [jax.random.key(200 + i) for i in range(STEPS)]

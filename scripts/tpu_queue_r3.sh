@@ -9,8 +9,8 @@ cd /root/repo
 LOG=/tmp/tpu_queue.log
 Q() { echo "=== [$(date -u +%H:%M:%S)] $*" >> "$LOG"; }
 
-Q "waiting for TPU UP in /tmp/tpu_watch.log"
-while ! grep -q "TPU UP" /tmp/tpu_watch.log 2>/dev/null; do sleep 30; done
+Q "waiting for TPU UP (/tmp/tpu_watch.log or /tmp/tpu_up)"
+while ! grep -q "TPU UP" /tmp/tpu_watch.log 2>/dev/null && [ ! -f /tmp/tpu_up ]; do sleep 30; done
 Q "TPU is up — starting queue"
 
 Q "1. halo vs dense packed-conv micro (probe_phase_conv)"
