@@ -50,4 +50,13 @@ print('causal halo/all:', bench_all.bench_causal(np.random.default_rng(0)))
 Q "6. BMGAN batch probe HALO (batch 1 and 2)"
 CIPS_PACKED_CONV=halo timeout 5400 python scripts/probe_bmgan_batch.py 1 2 >> "$LOG" 2>&1
 
+Q "7. classifier batch probe (amortisation optimum like the flagship)"
+timeout 5400 python scripts/probe_classifier_batch.py 4 8 16 >> "$LOG" 2>&1
+
+Q "8. stale-vs-exact D-fake dynamics (VERDICT item 6), half volume"
+timeout 7200 python scripts/probe_exact_dfake.py >> "$LOG" 2>&1
+
+Q "9. scoped-vmem sweep on the flagship step"
+timeout 7200 python scripts/sweep_xla_flags.py 16 conv12 >> "$LOG" 2>&1
+
 Q "queue done"
