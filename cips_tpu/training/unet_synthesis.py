@@ -23,6 +23,7 @@ Batch layout is channels-last; under a mesh the batch is sharded on the
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
@@ -72,6 +73,15 @@ def build_models(
             and not list(unet_def.get("attention_levels", [True]))[0]
         )
     unet_def.setdefault("s2d", s2d)
+    # CIPS_S2D_FACTORS sweeps per-level packing without a config edit, e.g.
+    # "222,221" packs level 0 at (2,2,2) and level 1 at (2,2,1); "0" skips a
+    # level. Levels beyond the list stay unpacked (atten_unet.level_factors).
+    sf = os.environ.get("CIPS_S2D_FACTORS")
+    if sf and unet_def.get("s2d"):
+        unet_def.setdefault(
+            "s2d_factors",
+            tuple(None if part == "0" else tuple(int(c) for c in part) for part in sf.split(",")),
+        )
     generator = AttenUNet(dtype=dtype, **unet_def)
     discriminator = PatchDiscriminator(dtype=dtype, **model_cfg.get("discriminator", {}))
     perceptual = PerceptualLoss(dtype=dtype, **model_cfg.get("perceptual_network", {}))

@@ -67,7 +67,7 @@ def main():
     ctx = arr((B, 1, N_COVARIATES))
     for label, extra in [
         ("fwd s2d L0 only", {"s2d": True, "s2d_factors": ((2, 2, 2),)}),
-        ("fwd s2d L0+L1", {"s2d": True}),
+        ("fwd s2d L0+L1", {"s2d": True, "s2d_factors": ((2, 2, 2), (2, 2, 1))}),
     ]:
         unet_def = dict(FLAGSHIP_CFG["atten_unet_def"])
         unet_def.update(cross_attention_dim=N_COVARIATES, with_conditioning=True, remat=False)

@@ -33,6 +33,13 @@ import bench_all
 print('flagship halo:', bench_all.bench_flagship(np.random.default_rng(0)))
 " >> "$LOG" 2>&1
 
+Q "3c. flagship HALO + level-1 (2,2,1) packing (halo makes L1 1.78x-MAC at full lanes)"
+CIPS_PACKED_CONV=halo CIPS_S2D_FACTORS=222,221 timeout 5400 python -c "
+import sys, numpy as np; sys.path.insert(0,'scripts')
+import bench_all
+print('flagship halo L0+L1:', bench_all.bench_flagship(np.random.default_rng(0)))
+" >> "$LOG" 2>&1
+
 Q "4. causal bench (batch 4 then 2) HALO (finest levels)"
 CIPS_PACKED_CONV=halo timeout 5400 python -c "
 import sys, numpy as np; sys.path.insert(0,'scripts')
