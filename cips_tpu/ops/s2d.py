@@ -419,6 +419,35 @@ def packed_conv_tiled_halo(x: jax.Array, w: jax.Array, f: Factors = F8, realign:
     return _halo_realign(v, x.shape[1:4], cout, f)
 
 
+def packed_conv_halo_dots(x: jax.Array, w: jax.Array, f: Factors = F8, realign: bool = True) -> jax.Array:
+    """Halo conv as prod(K) explicit shifted full-lane contractions.
+
+    XLA's even-kernel (k=2) conv lowering issues ~5x the halo formulation's
+    MAC minimum on v5e (probe_phase_conv.py); expressing each kernel tap as
+    a dot_general over a shifted slice of the once-padded input runs every
+    contraction at matmul MXU rates, at the cost of re-reading the input
+    once per tap (prod(K)=8 at (2,2,2)). Exact (== packed_conv_dense)."""
+    wp = pack_conv_kernel_halo(w.astype(x.dtype), f)  # (Kz,Ky,Kx,PC,PC)
+    kz, ky, kx = wp.shape[:3]
+    b, z, y, xx, c = x.shape
+    gz, gy, gx = z + 3 - kz, y + 3 - ky, xx + 3 - kx
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for az in range(kz):
+        for ay in range(ky):
+            for ax in range(kx):
+                xv = jax.lax.slice(
+                    xpad, (0, az, ay, ax, 0), (b, az + gz, ay + gy, ax + gx, c)
+                )
+                yv = jax.lax.dot_general(
+                    xv, wp[az, ay, ax], (((4,), (0,)), ((), ()))
+                )
+                acc = yv if acc is None else acc + yv
+    if not realign:
+        return acc
+    return _halo_realign(acc, x.shape[1:4], w.shape[-1], f)
+
+
 # Production-path switch, read once at import (static under jit):
 #   CIPS_PACKED_CONV=halo  — the 2.37x-MAC halo formulation (k=3 sites)
 #   CIPS_PACKED_CONV=dense — the 8x-MAC dense scattered kernel (default
@@ -486,7 +515,7 @@ def packed_conv_tiled(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
         return packed_conv_tiled_halo(x, w, f)
     k, _, _, cin, cout = w.shape
     p = phase_count(f)
-    wp = pack_conv_kernel(w, f)  # (k,k,k,P*cin,P*cout)
+    wp = pack_conv_kernel(w.astype(x.dtype), f)  # (k,k,k,P*cin,P*cout)
     kk = wp.shape[0]
     folded = wp.reshape(kk, kk, kk, p, cin, p * cout).sum(axis=3)
     pad = (kk - 1) // 2

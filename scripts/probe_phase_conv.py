@@ -21,6 +21,7 @@ import numpy as np
 from cips_tpu.ops.s2d import (
     packed_conv_dense,
     packed_conv_halo,
+    packed_conv_halo_dots,
     packed_conv_phase,
     packed_conv_tiled,
     packed_conv_tiled_halo,
@@ -58,6 +59,9 @@ def main():
         "packed dense k3": (packed_conv_dense, xp),
         "packed phase k2 (input-shift)": (packed_conv_phase, xp),
         "packed halo k2 (output-realign)": (packed_conv_halo, xp),
+        "packed halo k2 NOREALIGN": (lambda x_, w_: packed_conv_halo(x_, w_, realign=False), xp),
+        "packed halo dots (8 shifted MXU dots)": (packed_conv_halo_dots, xp),
+        "packed halo dots NOREALIGN": (lambda x_, w_: packed_conv_halo_dots(x_, w_, realign=False), xp),
     }
 
     for name, (fn, xin) in variants.items():
@@ -92,7 +96,11 @@ def main():
 
     # numerical cross-check on-device
     y_dense = jax.jit(packed_conv_dense)(xp, w)
-    for name, fn in (("phase", packed_conv_phase), ("halo", packed_conv_halo)):
+    for name, fn in (
+        ("phase", packed_conv_phase),
+        ("halo", packed_conv_halo),
+        ("halo_dots", packed_conv_halo_dots),
+    ):
         y = jax.jit(fn)(xp, w)
         err = float(jnp.max(jnp.abs(y_dense.astype(jnp.float32) - y.astype(jnp.float32))))
         print(f"max |dense - {name}| = {err}")

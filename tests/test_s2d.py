@@ -540,6 +540,31 @@ def test_packed_conv_halo_exact(f):
     np.testing.assert_allclose(np.asarray(gw_h), np.asarray(gw_d), atol=2e-4)
 
 
+@pytest.mark.parametrize("f", [(2, 2, 2), (2, 2, 1)])
+def test_packed_conv_halo_dots_exact(f):
+    """Taps-as-dots halo conv == dense packed conv, values and grads."""
+    from cips_tpu.ops.s2d import packed_conv_dense, packed_conv_halo_dots
+
+    rng = np.random.default_rng(3)
+    cin, cout = 3, 4
+    x = jnp.asarray(rng.standard_normal((2, 4 * f[0], 6 * f[1], 2 * f[2], cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)), jnp.float32) * 0.2
+    xp = space_to_depth(x, f)
+    np.testing.assert_allclose(
+        np.asarray(packed_conv_halo_dots(xp, w, f)),
+        np.asarray(packed_conv_dense(xp, w, f)),
+        atol=2e-5,
+    )
+
+    def loss(fn, xp_, w_):
+        return jnp.sum(jnp.sin(fn(xp_, w_, f)))
+
+    gx_d, gw_d = jax.grad(lambda a, b: loss(packed_conv_dense, a, b), argnums=(0, 1))(xp, w)
+    gx_h, gw_h = jax.grad(lambda a, b: loss(packed_conv_halo_dots, a, b), argnums=(0, 1))(xp, w)
+    np.testing.assert_allclose(np.asarray(gx_h), np.asarray(gx_d), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gw_h), np.asarray(gw_d), atol=2e-4)
+
+
 @pytest.mark.parametrize("f", [(2, 2, 2), (2, 2, 1), (2, 1, 1)])
 def test_packed_conv_tiled_halo_exact(f):
     """Fold-tile conv through the halo formulation == the dense fold-tile."""
