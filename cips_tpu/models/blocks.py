@@ -386,7 +386,7 @@ class PackedConv(nn.Module):
             conv_fn = (
                 (lambda x_, w_, f: _s2d.packed_conv_tiled_halo(x_, w_, f, realign=False))
                 if self.tiled_input
-                else (lambda x_, w_, f: _s2d.packed_conv_halo(x_, w_, f, realign=False))
+                else (lambda x_, w_, f: _s2d.packed_conv_halo_impl(x_, w_, f, realign=False))
             )
         elif self.tiled_input:
             conv_fn = packed_conv_tiled

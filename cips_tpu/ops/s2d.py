@@ -354,7 +354,7 @@ def pack_conv_kernel_halo(w: jax.Array, f: Factors = F8) -> jax.Array:
     return big.reshape(*ks, p * cin, p * cout)
 
 
-def _halo_realign(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: Factors) -> jax.Array:
+def _halo_realign_slices(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: Factors) -> jax.Array:
     """(B, Z+fz-1, Y+fy-1, X+fx-1, P*Cout) halo conv output -> packed
     (B,Z,Y,X,P*Cout): output phase p takes the spatial slice offset by its
     per-axis phase. Channel indices are untouched, so XLA lowers the whole
@@ -368,6 +368,39 @@ def _halo_realign(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: F
                 pi = (pz * fy + py) * fx + px
                 parts.append(v[:, pz : pz + z, py : py + y, px : px + x, pi * cout : (pi + 1) * cout])
     return jnp.concatenate(parts, axis=-1)
+
+
+def _halo_realign_masked(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: Factors) -> jax.Array:
+    """Realign via full-lane shifted views merged by a channel-indexed select.
+
+    The slice-concat realign's per-phase (…, cout) slices pad cout to the
+    128-lane tile when materialised (8x HBM expansion at cout=16 — the
+    batch-16 halo OOM, BENCH_NOTES round-3). Here every view keeps all
+    P*cout lanes and the phase choice is a lane-wise select, so no
+    lane-padded temporary can exist; costs up to P reads of ``v`` inside
+    one fusion instead of ~1."""
+    z, y, x = out_shape
+    fz, fy, fx = f
+    pc = phase_count(f) * cout
+    b = v.shape[0]
+    ch = jax.lax.broadcasted_iota(jnp.int32, (pc,), 0) // cout
+    out = None
+    for pz in range(fz):
+        for py in range(fy):
+            for px in range(fx):
+                pi = (pz * fy + py) * fx + px
+                part = jax.lax.slice(v, (0, pz, py, px, 0), (b, pz + z, py + y, px + x, pc))
+                out = part if out is None else jnp.where(ch == pi, part, out)
+    return out
+
+
+# slice (default) | masked — see _halo_realign_masked; read once at import.
+_HALO_REALIGN = os.environ.get("CIPS_HALO_REALIGN", "slice")
+
+
+def _halo_realign(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: Factors) -> jax.Array:
+    impl = _halo_realign_masked if _HALO_REALIGN == "masked" else _halo_realign_slices
+    return impl(v, out_shape, cout, f)
 
 
 def packed_conv_halo(x: jax.Array, w: jax.Array, f: Factors = F8, realign: bool = True) -> jax.Array:
@@ -449,17 +482,24 @@ def packed_conv_halo_dots(x: jax.Array, w: jax.Array, f: Factors = F8, realign: 
 
 
 # Production-path switch, read once at import (static under jit):
-#   CIPS_PACKED_CONV=halo  — the 2.37x-MAC halo formulation (k=3 sites)
-#   CIPS_PACKED_CONV=dense — the 8x-MAC dense scattered kernel (default
-#   until the halo path has a TPU measurement; see BENCH_NOTES.md).
+#   CIPS_PACKED_CONV=halo      — the 2.37x-MAC halo formulation (k-2 conv)
+#   CIPS_PACKED_CONV=halo_dots — halo via prod(K) shifted MXU dots
+#   CIPS_PACKED_CONV=dense     — the 8x-MAC dense scattered kernel (default
+#   until a halo path has a winning TPU measurement; see BENCH_NOTES.md).
 _PACKED_CONV_IMPL = os.environ.get("CIPS_PACKED_CONV", "dense")
 
 
 def packed_conv_uses_halo(k: int) -> bool:
-    """True when `packed_conv` would route a kernel-``k`` site through the
+    """True when `packed_conv` would route a kernel-``k`` site through a
     halo formulation (multi-part callers use this to sum raw halo grids and
     realign once)."""
-    return _PACKED_CONV_IMPL == "halo" and k == 3
+    return _PACKED_CONV_IMPL in ("halo", "halo_dots") and k == 3
+
+
+def packed_conv_halo_impl(x: jax.Array, w: jax.Array, f: Factors = F8, realign: bool = True) -> jax.Array:
+    """The env-selected halo formulation (k-2 conv or shifted dots)."""
+    fn = packed_conv_halo_dots if _PACKED_CONV_IMPL == "halo_dots" else packed_conv_halo
+    return fn(x, w, f, realign=realign)
 
 
 def halo_realign(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: Factors = F8) -> jax.Array:
@@ -471,7 +511,7 @@ def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1, f: Factors = F8) ->
     """Convolution in the packed domain with an original-parameter kernel."""
     assert stride == 1, "packed domain only hosts stride-1 convs"
     if packed_conv_uses_halo(w.shape[0]):
-        return packed_conv_halo(x, w, f)
+        return packed_conv_halo_impl(x, w, f)
     return packed_conv_dense(x, w, f)
 
 
@@ -511,7 +551,7 @@ def packed_conv_tiled(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
     dominant batch>8 HBM allocation in the up path — never exists.
     x: (B, Z, Y, X, C) on the PACKED cell grid; returns (B, Z, Y, X, P*Cout).
     """
-    if _PACKED_CONV_IMPL == "halo" and w.shape[0] == 3:
+    if _PACKED_CONV_IMPL in ("halo", "halo_dots") and w.shape[0] == 3:
         return packed_conv_tiled_halo(x, w, f)
     k, _, _, cin, cout = w.shape
     p = phase_count(f)

@@ -598,6 +598,15 @@ def test_packed_conv_module_halo_multipart(monkeypatch):
     y_halo = m.apply(params, (a, b))
     np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_dense), atol=2e-5)
 
+    # taps-as-dots halo impl and the masked (full-lane select) realign
+    monkeypatch.setattr(s2d, "_PACKED_CONV_IMPL", "halo_dots")
+    y_dots = m.apply(params, (a, b))
+    np.testing.assert_allclose(np.asarray(y_dots), np.asarray(y_dense), atol=2e-5)
+    monkeypatch.setattr(s2d, "_HALO_REALIGN", "masked")
+    y_masked = m.apply(params, (a, b))
+    np.testing.assert_allclose(np.asarray(y_masked), np.asarray(y_dense), atol=2e-5)
+    monkeypatch.setattr(s2d, "_HALO_REALIGN", "slice")
+
     # fold-tile (unpacked pre-tile) input through the module
     xt = jnp.asarray(rng.standard_normal((1, 4, 3, 2, 5)), jnp.float32)
     mt = PackedConv(features=4, tiled_input=True)
