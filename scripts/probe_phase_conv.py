@@ -81,6 +81,45 @@ def main():
             flush=True,
         )
 
+    # realign formulations: slice-concat (default) vs full-lane masked select
+    # vs a depthwise k-2 VALID conv whose one-hot taps realise the shifts.
+    from cips_tpu.ops import s2d as _s2d
+
+    def halo_masked(x_, w_):
+        v = packed_conv_halo(x_, w_, realign=False)
+        return _s2d._halo_realign_masked(v, x_.shape[1:4], w_.shape[-1], (2, 2, 2))
+
+    def _dw_realign(v, out_shape, cout):
+        z, y, xx = out_shape
+        pc = 8 * cout
+        k = np.zeros((2, 2, 2, 1, pc), np.float32)
+        for pz in range(2):
+            for py in range(2):
+                for px in range(2):
+                    pi = (pz * 2 + py) * 2 + px
+                    k[pz, py, px, 0, pi * cout : (pi + 1) * cout] = 1.0
+        return jax.lax.conv_general_dilated(
+            v, jnp.asarray(k, v.dtype), (1, 1, 1), [(0, 0)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), feature_group_count=pc,
+        )
+
+    def halo_dwconv(x_, w_):
+        v = packed_conv_halo(x_, w_, realign=False)
+        return _dw_realign(v, x_.shape[1:4], w_.shape[-1])
+
+    for name, fn in (("halo + MASKED realign", halo_masked), ("halo + DWCONV realign", halo_dwconv)):
+        ff = jax.jit(fn)
+        t_fwd = timeit(ff, xp, w)
+
+        def loss(x_, w_, fn_=fn):
+            return jnp.sum(fn_(x_, w_).astype(jnp.float32))
+
+        t_bwd = timeit(jax.jit(jax.grad(loss, argnums=1)), xp, w)
+        t_bwd_x = timeit(jax.jit(jax.grad(loss, argnums=0)), xp, w)
+        print(f"{name:32s} fwd {t_fwd*1e3:7.2f} ms   dW {t_bwd*1e3:7.2f} ms   dX {t_bwd_x*1e3:7.2f} ms", flush=True)
+        err = float(jnp.max(jnp.abs(jax.jit(packed_conv_dense)(xp, w).astype(jnp.float32) - ff(xp, w).astype(jnp.float32))))
+        print(f"   max |dense - this| = {err}", flush=True)
+
     # fold-tile variants (up-path): unpacked (B,Z,Y,X,C) -> packed output
     xt = jnp.asarray(rng.standard_normal((B, Z, Y, X, C)), jnp.bfloat16)
     for name, fn in (("tiled dense k3", packed_conv_tiled), ("tiled halo k2", packed_conv_tiled_halo)):
