@@ -394,13 +394,54 @@ def _halo_realign_masked(v: jax.Array, out_shape: Tuple[int, int, int], cout: in
     return out
 
 
-# slice (default) | masked — see _halo_realign_masked; read once at import.
-_HALO_REALIGN = os.environ.get("CIPS_HALO_REALIGN", "slice")
+@lru_cache(maxsize=None)
+def _dw_realign_kernel(cout: int, f: Factors) -> np.ndarray:
+    """One-hot depthwise kernel (fz,fy,fx,1,P*cout) realising the halo
+    realign: channel block p takes the tap at its per-axis phase offset."""
+    fz, fy, fx = f
+    k = np.zeros((fz, fy, fx, 1, phase_count(f) * cout), np.float32)
+    for pz in range(fz):
+        for py in range(fy):
+            for px in range(fx):
+                pi = (pz * fy + py) * fx + px
+                k[pz, py, px, 0, pi * cout : (pi + 1) * cout] = 1.0
+    return k
+
+
+def _halo_realign_dwconv(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: Factors) -> jax.Array:
+    """Realign as a depthwise VALID conv whose one-hot taps select each
+    output phase's shifted slice — the fastest exact realign measured on
+    v5e (probe_phase_conv.py round-4: fwd 5.0 ms vs slice-concat's 15.0 at
+    the flagship level-0 shape): the conv lowering keeps full lanes and
+    never materialises per-phase slices or select chains."""
+    pc = phase_count(f) * cout
+    k = jnp.asarray(_dw_realign_kernel(cout, f), v.dtype)
+    return jax.lax.conv_general_dilated(
+        v, k, (1, 1, 1), [(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), feature_group_count=pc,
+    )
+
+
+def _env_choice(name: str, default: str, allowed: Tuple[str, ...]) -> str:
+    """Read an impl-switch env var, rejecting unknown values at import —
+    a typo (e.g. 'Masked') would otherwise silently benchmark the default."""
+    v = os.environ.get(name, default)
+    if v not in allowed:
+        raise ValueError(f"{name}={v!r}: expected one of {allowed}")
+    return v
+
+
+# dwconv (default; fastest measured) | slice | masked; read once at import.
+_HALO_REALIGN = _env_choice("CIPS_HALO_REALIGN", "dwconv", ("dwconv", "slice", "masked"))
+_REALIGN_IMPLS = {
+    "dwconv": _halo_realign_dwconv,
+    "slice": _halo_realign_slices,
+    "masked": _halo_realign_masked,
+}
 
 
 def _halo_realign(v: jax.Array, out_shape: Tuple[int, int, int], cout: int, f: Factors) -> jax.Array:
-    impl = _halo_realign_masked if _HALO_REALIGN == "masked" else _halo_realign_slices
-    return impl(v, out_shape, cout, f)
+    return _REALIGN_IMPLS[_HALO_REALIGN](v, out_shape, cout, f)
 
 
 def packed_conv_halo(x: jax.Array, w: jax.Array, f: Factors = F8, realign: bool = True) -> jax.Array:
@@ -452,16 +493,15 @@ def packed_conv_tiled_halo(x: jax.Array, w: jax.Array, f: Factors = F8, realign:
     return _halo_realign(v, x.shape[1:4], cout, f)
 
 
-def packed_conv_halo_dots(x: jax.Array, w: jax.Array, f: Factors = F8, realign: bool = True) -> jax.Array:
-    """Halo conv as prod(K) explicit shifted full-lane contractions.
+def _halo_dots(x: jax.Array, wk: jax.Array) -> jax.Array:
+    """prod(K) shifted full-lane contractions over the (1,1)-padded input.
 
-    XLA's even-kernel (k=2) conv lowering issues ~5x the halo formulation's
-    MAC minimum on v5e (probe_phase_conv.py); expressing each kernel tap as
-    a dot_general over a shifted slice of the once-padded input runs every
-    contraction at matmul MXU rates, at the cost of re-reading the input
-    once per tap (prod(K)=8 at (2,2,2)). Exact (== packed_conv_dense)."""
-    wp = pack_conv_kernel_halo(w.astype(x.dtype), f)  # (Kz,Ky,Kx,PC,PC)
-    kz, ky, kx = wp.shape[:3]
+    Each kernel tap runs as a dot_general over a shifted slice of the
+    once-padded input, at matmul MXU rates, accumulating all taps in fp32
+    (the conv-based paths get fp32 accumulation from XLA internally; an
+    input-dtype add chain would round per tap at bf16). wk is a halo kernel
+    (Kz,Ky,Kx,Cin_eff,Cout_eff); returns the raw halo grid in x.dtype."""
+    kz, ky, kx = wk.shape[:3]
     b, z, y, xx, c = x.shape
     gz, gy, gx = z + 3 - kz, y + 3 - ky, xx + 3 - kx
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
@@ -473,12 +513,42 @@ def packed_conv_halo_dots(x: jax.Array, w: jax.Array, f: Factors = F8, realign: 
                     xpad, (0, az, ay, ax, 0), (b, az + gz, ay + gy, ax + gx, c)
                 )
                 yv = jax.lax.dot_general(
-                    xv, wp[az, ay, ax], (((4,), (0,)), ((), ()))
+                    xv, wk[az, ay, ax], (((4,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
                 acc = yv if acc is None else acc + yv
+    return acc.astype(x.dtype)
+
+
+def packed_conv_halo_dots(x: jax.Array, w: jax.Array, f: Factors = F8, realign: bool = True) -> jax.Array:
+    """Halo conv as prod(K) explicit shifted full-lane contractions.
+
+    XLA's even-kernel (k=2) conv lowering issues ~5x the halo formulation's
+    MAC minimum on v5e (probe_phase_conv.py); expressing each kernel tap as
+    a dot_general over a shifted slice of the once-padded input runs every
+    contraction at matmul MXU rates, at the cost of re-reading the input
+    once per tap (prod(K)=8 at (2,2,2)). Exact (== packed_conv_dense)."""
+    wp = pack_conv_kernel_halo(w.astype(x.dtype), f)  # (Kz,Ky,Kx,PC,PC)
+    acc = _halo_dots(x, wp)
     if not realign:
         return acc
     return _halo_realign(acc, x.shape[1:4], w.shape[-1], f)
+
+
+def packed_conv_tiled_halo_dots(x: jax.Array, w: jax.Array, f: Factors = F8, realign: bool = True) -> jax.Array:
+    """`packed_conv_tiled` through the halo-dots formulation: fold the halo
+    kernel's q blocks (the tile's phases are identical), then run the
+    prod(K) shifted dots — the up-path fold-tile sites get the same
+    even-kernel-free lowering as `packed_conv_halo_dots`."""
+    k, _, _, cin, cout = w.shape
+    p = phase_count(f)
+    wp = pack_conv_kernel_halo(w.astype(x.dtype), f)
+    ks = wp.shape[:3]
+    folded = wp.reshape(*ks, p, cin, p * cout).sum(axis=3)
+    acc = _halo_dots(x, folded)
+    if not realign:
+        return acc
+    return _halo_realign(acc, x.shape[1:4], cout, f)
 
 
 # Production-path switch, read once at import (static under jit):
@@ -486,7 +556,7 @@ def packed_conv_halo_dots(x: jax.Array, w: jax.Array, f: Factors = F8, realign: 
 #   CIPS_PACKED_CONV=halo_dots — halo via prod(K) shifted MXU dots
 #   CIPS_PACKED_CONV=dense     — the 8x-MAC dense scattered kernel (default
 #   until a halo path has a winning TPU measurement; see BENCH_NOTES.md).
-_PACKED_CONV_IMPL = os.environ.get("CIPS_PACKED_CONV", "dense")
+_PACKED_CONV_IMPL = _env_choice("CIPS_PACKED_CONV", "dense", ("dense", "halo", "halo_dots"))
 
 
 def packed_conv_uses_halo(k: int) -> bool:
@@ -551,7 +621,9 @@ def packed_conv_tiled(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
     dominant batch>8 HBM allocation in the up path — never exists.
     x: (B, Z, Y, X, C) on the PACKED cell grid; returns (B, Z, Y, X, P*Cout).
     """
-    if _PACKED_CONV_IMPL in ("halo", "halo_dots") and w.shape[0] == 3:
+    if _PACKED_CONV_IMPL == "halo_dots" and w.shape[0] == 3:
+        return packed_conv_tiled_halo_dots(x, w, f)
+    if _PACKED_CONV_IMPL == "halo" and w.shape[0] == 3:
         return packed_conv_tiled_halo(x, w, f)
     k, _, _, cin, cout = w.shape
     p = phase_count(f)

@@ -618,6 +618,35 @@ def test_packed_conv_module_halo_multipart(monkeypatch):
     np.testing.assert_allclose(np.asarray(yt_halo), np.asarray(yt_dense), atol=2e-5)
 
 
+@pytest.mark.parametrize("f", [(2, 2, 2), (2, 2, 1), (2, 1, 1)])
+def test_halo_realign_impl_equivalence(f):
+    """All three realign implementations (slice-concat, full-lane masked
+    select, one-hot depthwise conv) agree on random halo grids at every
+    packing factor — the masked path's phase-index/lane-select interplay
+    and the dwconv kernel differ per factor-1 axis (ADVICE round 3)."""
+    from cips_tpu.ops.s2d import (
+        _halo_realign_dwconv,
+        _halo_realign_masked,
+        _halo_realign_slices,
+        phase_count,
+    )
+
+    rng = np.random.default_rng(21)
+    cout = 3
+    out_shape = (4, 6, 2)
+    halo = tuple(s + ff - 1 for s, ff in zip(out_shape, f))
+    v = jnp.asarray(
+        rng.standard_normal((2, *halo, phase_count(f) * cout)), jnp.float32
+    )
+    ref = _halo_realign_slices(v, out_shape, cout, f)
+    np.testing.assert_allclose(
+        np.asarray(_halo_realign_masked(v, out_shape, cout, f)), np.asarray(ref), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(_halo_realign_dwconv(v, out_shape, cout, f)), np.asarray(ref), atol=2e-6
+    )
+
+
 def test_packed_conv_halo_switch(monkeypatch):
     """CIPS_PACKED_CONV=halo routes k=3 sites to the halo path and leaves
     k=1 convs (no halo formulation) on the dense path."""
