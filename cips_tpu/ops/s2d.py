@@ -554,9 +554,11 @@ def packed_conv_tiled_halo_dots(x: jax.Array, w: jax.Array, f: Factors = F8, rea
 # Production-path switch, read once at import (static under jit):
 #   CIPS_PACKED_CONV=halo      — the 2.37x-MAC halo formulation (k-2 conv)
 #   CIPS_PACKED_CONV=halo_dots — halo via prod(K) shifted MXU dots
-#   CIPS_PACKED_CONV=dense     — the 8x-MAC dense scattered kernel (default
-#   until a halo path has a winning TPU measurement; see BENCH_NOTES.md).
-_PACKED_CONV_IMPL = _env_choice("CIPS_PACKED_CONV", "dense", ("dense", "halo", "halo_dots"))
+#   CIPS_PACKED_CONV=dense     — the 8x-MAC dense scattered kernel
+# Default: halo (+ dwconv realign). Measured on v5e (BENCH_NOTES round-4
+# session-1): flagship 12.59 vs dense 9.88 vol/s/chip (+27%), exact to the
+# dense path (full-model forward+grad gate, tests/test_halo_full_model.py).
+_PACKED_CONV_IMPL = _env_choice("CIPS_PACKED_CONV", "halo", ("dense", "halo", "halo_dots"))
 
 
 def packed_conv_uses_halo(k: int) -> bool:

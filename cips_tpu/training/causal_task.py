@@ -78,9 +78,10 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
     t1_dec_def.setdefault("s2d", t1_dec_def.get("spatial_dims", 3) == 3
                            and len(t1_dec_def.get("num_channels", [])) >= 2
                            and auto_factor(min(t1_dec_def.get("num_channels", [999]))) is not None)
-    # CIPS_S2D_LEVELS=all packs the decoders' attention-free middle levels
-    # too ((2,1,1) at 64ch) — probe knob pending a TPU measurement
-    s2d_levels = os.environ.get("CIPS_S2D_LEVELS", "finest")
+    # "all" packs the decoders' attention-free middle levels too ((2,1,1)
+    # at 64ch) — measured 2.27 vs 2.19 vol/s/chip over "finest" under the
+    # halo conv (BENCH_NOTES round-4); exactness: tests/test_s2d.py:432-498
+    s2d_levels = os.environ.get("CIPS_S2D_LEVELS", "all")
     t1_dec_def.setdefault("s2d_levels", s2d_levels)
     t1_decoder = Decoder(dtype=dtype, **t1_dec_def)
 

@@ -32,14 +32,17 @@ def main():
     for b in batches:
         shape = (b, *VOL, 1)
         try:
+            # perceptual_weight=8.0: the reference's real G-step cost
+            # (bl_methods/BMGAN/train_bmgan.py:157,324) — probing at 0.0
+            # understates the workload (VERDICT round 3, weak #4).
             state = bmgan_task.init_state(
-                jax.random.key(0), g, e, d, p, (1, *VOL, 1), perceptual_weight=0.0
+                jax.random.key(0), g, e, d, p, (1, *VOL, 1), perceptual_weight=8.0
             )
             batch = {
                 "t1": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
                 "pet": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
             }
-            step = jax.jit(bmgan_task.make_train_step(g, e, d, p, 20.0, 0.0), donate_argnums=0)
+            step = jax.jit(bmgan_task.make_train_step(g, e, d, p, 20.0, 8.0), donate_argnums=0)
             key = jax.random.key(1)
             state, m = step(state, batch, key)
             float(m["g_loss"])

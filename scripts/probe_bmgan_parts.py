@@ -59,6 +59,22 @@ def main():
     g_grad = jax.jit(jax.grad(g_loss))
     print(f"G grad           {timeit(g_grad, state.g.params)*1e3:7.1f} ms", flush=True)
 
+    # the honest G step pays lamda_perceptual=8 of LPIPS compute
+    # (train_bmgan.py:157,324) — time it separately and inside the G grad
+    state_p = bmgan_task.init_state(jax.random.key(0), g, e, d, p, shape, perceptual_weight=8.0)
+    if state_p.p_params is not None:
+        p_fwd = jax.jit(lambda x, y: p.apply(state_p.p_params, x, y))
+        print(f"P fwd            {timeit(p_fwd, pet, t1)*1e3:7.1f} ms", flush=True)
+
+        def g_loss_p(gp):
+            fake_ = g.apply(gp, t1, z)
+            logits = d.apply(state_p.d.params, fake_)
+            adv = patch_adversarial_loss(logits, target_is_real=True, for_discriminator=False)
+            return adv + 20.0 * l1_loss(fake_, pet) + 8.0 * p.apply(state_p.p_params, fake_, pet)
+
+        g_grad_p = jax.jit(jax.grad(g_loss_p))
+        print(f"G grad +P8       {timeit(g_grad_p, state_p.g.params)*1e3:7.1f} ms", flush=True)
+
     fake = jax.jit(lambda gp: g.apply(gp, t1, z))(state.g.params)
 
     def e_loss(ep):

@@ -24,7 +24,7 @@ def _run(env_overrides):
     env["JAX_PLATFORMS"] = "cpu"
     env.update(env_overrides)
     out = subprocess.run(
-        [sys.executable, _PROBE], env=env, capture_output=True, text=True, timeout=900
+        [sys.executable, _PROBE], env=env, capture_output=True, text=True, timeout=2400
     )
     assert out.returncode == 0, out.stderr[-2000:]
     return json.loads(out.stdout.strip().splitlines()[-1])
