@@ -195,15 +195,22 @@ class LPIPS(nn.Module):
         fb = net(scaled(b))
         total = jnp.zeros((a.shape[0],), jnp.float32)
         for i, (xa, xb) in enumerate(zip(fa, fb)):
-            d = jnp.square(_unit_normalize(xa) - _unit_normalize(xb))  # (B,H,W,C) fp32
             # NetLinLayer: 1x1 conv C -> 1, no bias. Init = uniform average so
             # the random-feature fallback is a plain mean; pretrained weights
-            # overwrite via params_from_npz.
+            # overwrite via params_from_npz. Created unconditionally so the
+            # param tree never depends on the input shape.
             lin = self.param(
                 f"lin{i}",
                 lambda key, shape: jnp.full(shape, 1.0 / shape[0], jnp.float32),
                 (tap_channels[i], 1),
             )
+            if 0 in xa.shape:
+                # Inputs smaller than the backbone's receptive field (tiny
+                # test crops) make deep taps spatially empty; their mean is
+                # NaN. Statically skip them — real volumes (>=48 per axis)
+                # never hit this, so the production HLO is unchanged.
+                continue
+            d = jnp.square(_unit_normalize(xa) - _unit_normalize(xb))  # (B,H,W,C) fp32
             total = total + jnp.mean(d @ lin, axis=(1, 2, 3))  # spatial average
         return total
 

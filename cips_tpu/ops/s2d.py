@@ -58,8 +58,7 @@ def auto_factor(channels: int) -> Optional[Factors]:
     return None
 
 
-def space_to_depth(x: jax.Array, f: Factors = F8) -> jax.Array:
-    """(B, fz*Z, fy*Y, fx*X, C) -> (B, Z, Y, X, P*C), phase-major channels."""
+def _s2d_reshape(x: jax.Array, f: Factors = F8) -> jax.Array:
     b, d, h, w, c = x.shape
     fz, fy, fx = f
     x = x.reshape(b, d // fz, fz, h // fy, fy, w // fx, fx, c)
@@ -67,14 +66,73 @@ def space_to_depth(x: jax.Array, f: Factors = F8) -> jax.Array:
     return x.reshape(b, d // fz, h // fy, w // fx, phase_count(f) * c)
 
 
-def depth_to_space(x: jax.Array, f: Factors = F8) -> jax.Array:
-    """(B, Z, Y, X, P*C) -> (B, fz*Z, fy*Y, fx*X, C)."""
+def _d2s_reshape(x: jax.Array, f: Factors = F8) -> jax.Array:
     b, z, y, w, pc = x.shape
     fz, fy, fx = f
     c = pc // phase_count(f)
     x = x.reshape(b, z, y, w, fz, fy, fx, c)
     x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return x.reshape(b, fz * z, fy * y, fx * w, c)
+
+
+@lru_cache(maxsize=None)
+def _s2d_onehot_kernel(f: Factors, c: int) -> np.ndarray:
+    """(fz,fy,fx,C,P*C) one-hot kernel: a VALID stride-f conv with it IS
+    space_to_depth (phase-major channel order p*C + c)."""
+    fz, fy, fx = f
+    k = np.zeros((fz, fy, fx, c, phase_count(f) * c), np.float32)
+    for az in range(fz):
+        for ay in range(fy):
+            for ax in range(fx):
+                p = (az * fy + ay) * fx + ax
+                for ci in range(c):
+                    k[az, ay, ax, ci, p * c + ci] = 1.0
+    return k
+
+
+_DN3D = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _s2d_conv(x: jax.Array, f: Factors = F8) -> jax.Array:
+    """space_to_depth as a one-hot strided conv: the phase relayout stays
+    inside one conv lowering, so XLA never materialises the 6-D transpose
+    intermediate (measured 8x-padded, 288 MB for a 36 MB stem input when
+    rematerialised — the marginal allocation of the L0+L1 batch-16 OOM)."""
+    k = jnp.asarray(_s2d_onehot_kernel(f, x.shape[-1]), x.dtype)
+    # HIGHEST: DEFAULT precision rounds f32 operands to bf16 on the MXU
+    # path; with a 0/1 kernel and one term per output, HIGHEST is bit-exact
+    # in every dtype (bf16 operands are selected, not computed).
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=f, padding="VALID", dimension_numbers=_DN3D,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=x.dtype,
+    )
+
+
+def _d2s_conv(x: jax.Array, f: Factors = F8) -> jax.Array:
+    """Inverse of _s2d_conv: the transposed conv with the SAME one-hot
+    kernel — the adjoint of a permutation is its inverse, and each output
+    element is a single 0/1-weighted term, so it is exact in any dtype."""
+    c = x.shape[-1] // phase_count(f)
+    k = jnp.asarray(_s2d_onehot_kernel(f, c), x.dtype)
+    return jax.lax.conv_transpose(
+        x, k, strides=f, padding="VALID", dimension_numbers=_DN3D,
+        transpose_kernel=True, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=x.dtype,
+    )
+
+
+def space_to_depth(x: jax.Array, f: Factors = F8) -> jax.Array:
+    """(B, fz*Z, fy*Y, fx*X, C) -> (B, Z, Y, X, P*C), phase-major channels."""
+    if _S2D_IMPL == "conv" and x.ndim == 5 and jnp.issubdtype(x.dtype, jnp.floating):
+        return _s2d_conv(x, f)
+    return _s2d_reshape(x, f)
+
+
+def depth_to_space(x: jax.Array, f: Factors = F8) -> jax.Array:
+    """(B, Z, Y, X, P*C) -> (B, fz*Z, fy*Y, fx*X, C)."""
+    if _S2D_IMPL == "conv" and x.ndim == 5 and jnp.issubdtype(x.dtype, jnp.floating):
+        return _d2s_conv(x, f)
+    return _d2s_reshape(x, f)
 
 
 def phase_mean(x: jax.Array, f: Factors = F8) -> jax.Array:
@@ -430,6 +488,11 @@ def _env_choice(name: str, default: str, allowed: Tuple[str, ...]) -> str:
         raise ValueError(f"{name}={v!r}: expected one of {allowed}")
     return v
 
+
+# s2d/d2s boundary relayout: "conv" routes through the one-hot strided
+# conv / its transpose (layout change stays inside a conv lowering);
+# "reshape" is the 6-D reshape+transpose. Read once at import.
+_S2D_IMPL = _env_choice("CIPS_S2D_IMPL", "reshape", ("reshape", "conv"))
 
 # dwconv (default; fastest measured) | slice | masked; read once at import.
 _HALO_REALIGN = _env_choice("CIPS_HALO_REALIGN", "dwconv", ("dwconv", "slice", "masked"))

@@ -19,7 +19,8 @@ BENCH_NOTES.md).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Tuple
+import os
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,12 +89,18 @@ def make_train_step(
     lamda_perceptual: float = 8.0,
     latent_dim: int = 8,
     exact_d_fake: bool = False,
+    d_remat: Optional[bool] = None,
 ) -> Callable:
     """``exact_d_fake`` reproduces the reference's semantics exactly: the E
     and D phases see the POST-update generator's fake (train_bmgan.py
     :168-169, :188-190 re-forward G with no_grad after the G step) at the
     cost of one extra generator forward per step. Default reuses the
-    pre-update fake (one-step stale; same fixed points — module doc)."""
+    pre-update fake (one-step stale; same fixed points — module doc).
+    ``d_remat`` recomputes the D tower and the LPIPS net inside the G-step
+    backward instead of saving their activations (HBM-for-FLOPs; the knob
+    that decides the marginal batch)."""
+    if d_remat is None:
+        d_remat = os.environ.get("CIPS_D_REMAT", "") == "1"
 
     def train_step(
         state: BMGANState, batch: Mapping[str, jax.Array], rng: jax.Array
@@ -103,14 +110,19 @@ def make_train_step(
 
         def g_loss_fn(g_params):
             fake = generator.apply(g_params, t1, z)
-            logits_fake = discriminator.apply(state.d.params, fake)
+            d_apply = lambda f: discriminator.apply(state.d.params, f)  # noqa: E731
+            if d_remat:
+                d_apply = jax.checkpoint(d_apply)
+            logits_fake = d_apply(fake)
             adv = patch_adversarial_loss(logits_fake, target_is_real=True, for_discriminator=False)
             rec = l1_loss(fake, pet)
-            p = (
-                perceptual.apply(state.p_params, fake, pet)
-                if (lamda_perceptual > 0 and state.p_params is not None)
-                else jnp.float32(0.0)
-            )
+            if lamda_perceptual > 0 and state.p_params is not None:
+                p_apply = lambda f: perceptual.apply(state.p_params, f, pet)  # noqa: E731
+                if d_remat:
+                    p_apply = jax.checkpoint(p_apply)
+                p = p_apply(fake)
+            else:
+                p = jnp.float32(0.0)
             loss = adv + lamda_l1 * rec + lamda_perceptual * p
             return loss, {"l1": rec, "adv": adv, "p": p, "fake": fake}
 

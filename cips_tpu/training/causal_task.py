@@ -155,6 +155,11 @@ def make_train_step(
     kw = float(train_cfg.get("kl_weight", 0.001))
     if exact_d_fake is None:
         exact_d_fake = bool(train_cfg.get("exact_d_fake", False))
+    # d_remat: recompute the D tower (and the perceptual net) inside the
+    # G-step backward instead of saving their activations — trades one extra
+    # forward each for the HBM that decides the marginal batch (see
+    # unet_synthesis.make_train_step for the flagship numbers).
+    d_remat = bool(train_cfg.get("d_remat", os.environ.get("CIPS_D_REMAT", "") == "1"))
 
     def train_step(
         state: CausalState, batch: Mapping[str, jax.Array], rng: jax.Array
@@ -173,13 +178,18 @@ def make_train_step(
             rec_loss_pet = l1_loss(rec_pet, pet)
             rec_loss_t1 = l1_loss(t1_rec, t1)
             kl = kl_divergence(z_mu, z_sigma)  # z_sigma as logvar, reference :240-241
-            p = (
-                perceptual.apply(state.p_params, rec_pet, pet)
-                if (pw > 0 and state.p_params is not None)
-                else jnp.float32(0.0)
-            )
+            if pw > 0 and state.p_params is not None:
+                p_apply = lambda f: perceptual.apply(state.p_params, f, pet)  # noqa: E731
+                if d_remat:
+                    p_apply = jax.checkpoint(p_apply)
+                p = p_apply(rec_pet)
+            else:
+                p = jnp.float32(0.0)
             if aw > 0:
-                logits = discriminator.apply(state.d.params, rec_pet)[-1]
+                d_apply = lambda f: discriminator.apply(state.d.params, f)[-1]  # noqa: E731
+                if d_remat:
+                    d_apply = jax.checkpoint(d_apply)
+                logits = d_apply(rec_pet)
                 adv = patch_adversarial_loss(logits, target_is_real=True, for_discriminator=False)
             else:
                 adv = jnp.float32(0.0)

@@ -136,6 +136,12 @@ def make_train_step(
         exact_d_fake = bool(train_cfg.get("exact_d_fake", False))
     if split_d is None:
         split_d = bool(train_cfg.get("split_d", False))
+    # d_remat: recompute the discriminator tower inside the G-step backward
+    # instead of saving its ~1.1 GB of activations at batch 16 full volume
+    # (the two 576 MB transpose(jvp(PatchDiscriminator)) temporaries in the
+    # L0+L1 OOM dump, BENCH_NOTES round-4) — the HBM enabler for packing
+    # level 1; costs one extra D forward per G backward.
+    d_remat = bool(train_cfg.get("d_remat", os.environ.get("CIPS_D_REMAT", "") == "1"))
 
     def train_step(state: GANState, batch: Mapping[str, jax.Array]) -> Tuple[GANState, Dict]:
         t1 = batch["t1"]
@@ -145,13 +151,18 @@ def make_train_step(
         def g_loss_fn(g_params):
             fake = generator.apply(g_params, t1, cond)
             rec = l1_loss(fake, pet)
-            p = (
-                perceptual.apply(state.p_params, fake, pet)
-                if (pw > 0 and state.p_params is not None)
-                else jnp.float32(0.0)
-            )
+            if pw > 0 and state.p_params is not None:
+                p_apply = lambda f: perceptual.apply(state.p_params, f, pet)  # noqa: E731
+                if d_remat:
+                    p_apply = jax.checkpoint(p_apply)
+                p = p_apply(fake)
+            else:
+                p = jnp.float32(0.0)
             if aw > 0:
-                logits = discriminator.apply(state.d.params, fake)[-1]
+                d_apply = lambda f: discriminator.apply(state.d.params, f)[-1]  # noqa: E731
+                if d_remat:
+                    d_apply = jax.checkpoint(d_apply)
+                logits = d_apply(fake)
                 adv = patch_adversarial_loss(logits, target_is_real=True, for_discriminator=False)
             else:
                 adv = jnp.float32(0.0)

@@ -58,8 +58,9 @@ def bench_flagship(rng):
     from cips_tpu.training.unet_synthesis import build_models, init_state, make_train_step
 
     # conv12 save policy (skip/tiled-conv1 recomputed) fits batch 16 — the
-    # round-3 throughput optimum (BENCH_NOTES.md round-3 log)
-    batch = 16
+    # round-3 throughput optimum (BENCH_NOTES.md round-3 log). Env override
+    # so A/B queues can probe other amortisation points without editing.
+    batch = int(os.environ.get("CIPS_BENCH_FLAGSHIP_BATCH", "16"))
     shape = (batch, *VOL, 1)
     g, d, p = build_models(
         FLAGSHIP_CFG, n_covariates=N_COVARIATES, dtype=jnp.bfloat16, remat_policy="conv12"
@@ -123,6 +124,7 @@ def bench_causal(rng):
         except Exception as e:  # noqa: BLE001 — OOM at the marginal batch
             last_err = e
             continue
+        print(f"# causal bench ran at batch {b} ({dt*1e3:.0f} ms/step)", file=sys.stderr, flush=True)
         return "causal_synthesis_train_throughput", b / dt, 0.8
     raise last_err
 

@@ -42,6 +42,10 @@ def dense_ref():
         {"CIPS_PACKED_CONV": "halo", "CIPS_HALO_REALIGN": "slice"},
         {"CIPS_PACKED_CONV": "halo", "CIPS_HALO_REALIGN": "masked"},
         {"CIPS_PACKED_CONV": "halo_dots"},
+        # default packed conv (halo) + the one-hot-conv s2d/d2s boundary
+        # relayout — gates CIPS_S2D_IMPL=conv at full-model level before any
+        # default flip, same discipline as the halo switch itself.
+        {"CIPS_S2D_IMPL": "conv"},
     ],
     ids=lambda e: "-".join(e.values()),
 )

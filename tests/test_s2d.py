@@ -660,3 +660,19 @@ def test_packed_conv_halo_switch(monkeypatch):
         w = jnp.asarray(rng.standard_normal((k, k, k, 2, 2)), jnp.float32) * 0.2
         y = depth_to_space(s2d.packed_conv(xp, w))
         np.testing.assert_allclose(np.asarray(y), np.asarray(_conv_full(x, w)), atol=2e-5)
+
+
+@pytest.mark.parametrize("f", [(2, 2, 2), (2, 2, 1), (2, 1, 1)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_s2d_conv_impl_exact(f, dtype):
+    """The one-hot strided-conv s2d and its transposed-conv inverse are
+    bit-exact against the reshape path (0/1 kernel, one term per output;
+    HIGHEST precision so f32 operands are not rounded to bf16 on the MXU)."""
+    from cips_tpu.ops.s2d import _d2s_conv, _d2s_reshape, _s2d_conv, _s2d_reshape, phase_count
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 16):
+        x = jnp.asarray(rng.standard_normal((2, 8, 6, 4, c)), dtype)
+        np.testing.assert_array_equal(np.asarray(_s2d_conv(x, f)), np.asarray(_s2d_reshape(x, f)))
+        y = jnp.asarray(rng.standard_normal((2, 4, 3, 4, phase_count(f) * c)), dtype)
+        np.testing.assert_array_equal(np.asarray(_d2s_conv(y, f)), np.asarray(_d2s_reshape(y, f)))

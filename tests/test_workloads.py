@@ -223,3 +223,51 @@ def test_weighted_cross_entropy_matches_torch_semantics():
     want = (1.0 * ce + 4.0 * ce) / 5.0
     got = float(classifier_task.weighted_cross_entropy(logits, labels))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_d_remat_equivalence():
+    """d_remat (jax.checkpoint around the frozen D tower / LPIPS net inside
+    the G loss) is a pure HBM-for-FLOPs trade: one step with it on must
+    produce identical metrics and parameters to the default."""
+    rng = np.random.default_rng(3)
+    shape = (1, 16, 16, 16, 1)
+    batch = {
+        "t1": jnp.asarray(rng.random(shape, np.float32)),
+        "pet": jnp.asarray(rng.random(shape, np.float32)),
+    }
+
+    outs = []
+    for d_remat in (False, True):
+        g = DenseUNetGenerator(
+            input_conv_channel=4, down_channels=(4, 8), middle_channels=8, up_channels=(8, 4, 4)
+        )
+        e = ResNetEncoder(input_layer_channel=4, channels=(4, 8))
+        d = BMGANDiscriminator(num_layers_d=1)
+        p = PerceptualLoss(spatial_dims=3)
+        state = bmgan_task.init_state(jax.random.key(0), g, e, d, p, shape, perceptual_weight=1.0)
+        step = jax.jit(bmgan_task.make_train_step(g, e, d, p, lamda_perceptual=1.0, d_remat=d_remat))
+        state, m = step(state, batch, jax.random.key(1))
+        outs.append((float(m["g_loss"]), float(m["d_loss"]),
+                     float(jax.tree_util.tree_reduce(
+                         lambda a, b: a + jnp.sum(jnp.abs(b).astype(jnp.float64)), state.g.params, 0.0))))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=0)
+
+    cfg_train = dict(CAUSAL_TRAIN, perceptual_weight=0.1)
+    couts = []
+    cbatch = {
+        "t1": jnp.asarray(rng.random((2, 8, 16, 8, 1), np.float32)),
+        "pet": jnp.asarray(rng.random((2, 8, 16, 8, 1), np.float32)),
+        "info": jnp.asarray(rng.random((2, 1, 4), np.float32)),
+    }
+    for d_remat in (False, True):
+        tcfg = dict(cfg_train, d_remat=d_remat)
+        enc, t1_dec, pet_dec, disc, perc = causal_task.build_models(CAUSAL_CFG, n_covariates=4, dtype=jnp.float32)
+        state = causal_task.init_state(
+            jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, tcfg, (2, 8, 16, 8, 1), n_covariates=4
+        )
+        step = jax.jit(causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, tcfg))
+        state, m = step(state, cbatch, jax.random.key(2))
+        couts.append((float(m["g_loss"]), float(m["p_loss"]),
+                      float(jax.tree_util.tree_reduce(
+                          lambda a, b: a + jnp.sum(jnp.abs(b).astype(jnp.float64)), state.gen.params, 0.0))))
+    np.testing.assert_allclose(couts[0], couts[1], rtol=0, atol=0)
