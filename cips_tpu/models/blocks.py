@@ -156,14 +156,16 @@ class _GNScaleBias(nn.Module):
 
 
 def _sum_pair(a, b, axes):
-    """ONE variadic reduce over both operands: a single traversal of the
-    activation with the converts/squares fused into the reduce. Two sibling
-    `jnp.mean` reductions instead CSE their f32 convert into a materialised
-    fp32 copy of the tensor (plus a relayout) — measured ~7 ms per norm at
-    the causal level-0 shape. CIPS_GN_NO_VREDUCE=1 falls back to the two
-    plain sums (escape hatch while the variadic lowering lacks a TPU
-    measurement; scripts/probe_gn_vreduce.py is the probe)."""
-    if os.environ.get("CIPS_GN_NO_VREDUCE"):
+    """Two fp32 channel sums of the activation and its square.
+
+    Default: two plain `jnp.sum`s. The variadic-reduce fusion (ONE
+    `lax.reduce` over both operands, CIPS_GN_VREDUCE=1) was written to stop
+    the sibling reductions CSE-ing their f32 convert into a materialised
+    fp32 copy, but MEASURED SLOWER end to end on v5e (round-4 session-2
+    A/B: flagship dense 9.88 vreduce vs 10.43 plain, halo 12.59 vs 13.27 —
+    the variadic lowering serialises on the VPU and costs ~5% of the step;
+    it also explains the round-3 9.865 headline dip vs 10.09)."""
+    if not os.environ.get("CIPS_GN_VREDUCE"):
         return jnp.sum(a, axes), jnp.sum(b, axes)
     zero = jnp.float32(0)
 

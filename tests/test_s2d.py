@@ -676,3 +676,27 @@ def test_s2d_conv_impl_exact(f, dtype):
         np.testing.assert_array_equal(np.asarray(_s2d_conv(x, f)), np.asarray(_s2d_reshape(x, f)))
         y = jnp.asarray(rng.standard_normal((2, 4, 3, 4, phase_count(f) * c)), dtype)
         np.testing.assert_array_equal(np.asarray(_d2s_conv(y, f)), np.asarray(_d2s_reshape(y, f)))
+
+
+def test_gn_sum_pair_vreduce_equivalence(monkeypatch):
+    """The opt-in variadic-reduce fusion (CIPS_GN_VREDUCE=1; measured slower
+    on v5e, default OFF — blocks._sum_pair docstring) computes the same
+    fp32 sums, fwd and grad, as the default plain-sum pair."""
+    from cips_tpu.models import blocks
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((2, 6, 5, 4, 8)), jnp.float32)
+
+    def run():
+        def loss(x):
+            s1, s2 = blocks._sum_pair(x, jnp.square(x), (1, 2, 3))
+            return jnp.sum(s1 * 0.3 + s2)
+
+        return jax.value_and_grad(loss)(a)
+
+    monkeypatch.delenv("CIPS_GN_VREDUCE", raising=False)
+    v_plain, g_plain = run()
+    monkeypatch.setenv("CIPS_GN_VREDUCE", "1")
+    v_vr, g_vr = run()
+    np.testing.assert_allclose(float(v_plain), float(v_vr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_vr), rtol=1e-6)
