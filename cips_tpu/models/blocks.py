@@ -43,6 +43,7 @@ from cips_tpu.ops.s2d import (
     phase_tile,
     repack_pool,
     repack_tile,
+    repack_tile_compact,
 )
 
 Dtype = jnp.dtype
@@ -488,8 +489,14 @@ class PackedUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = repack_tile(x, self.f_in, self.f_out)
-        return PackedConv(self.out_channels, 3, factors=self.f_out, dtype=self.dtype, name="conv")(x)
+        # fold the tile into the conv kernel (packed_conv_tiled): prod(f_out)
+        # fewer MACs than convolving the materialised tile, and the
+        # (…, P*C) tile temporary never exists.
+        x = repack_tile_compact(x, self.f_in, self.f_out)
+        return PackedConv(
+            self.out_channels, 3, factors=self.f_out, tiled_input=True,
+            dtype=self.dtype, name="conv",
+        )(x)
 
 
 class ResnetBlock(nn.Module):
@@ -566,11 +573,18 @@ class ResnetBlock(nn.Module):
         )(x)
         h = nn.silu(h)
 
-        # upsampling into the (2,2,2)-packed domain: the nearest-tile's P
-        # phase blocks are identical, so conv1/skip fold the tile into their
-        # kernels (packed_conv_tiled) — the P*C-channel tile temporary was
-        # the dominant batch>8 HBM allocation.
-        fuse_tile = self.up and f_in is None and f_out == F8
+        # upsampling into a packed domain: the tile's P phase blocks are
+        # identical (repack_tile == phase_tile(repack_tile_compact(...))), so
+        # conv1/skip fold the tile into their kernels (packed_conv_tiled) —
+        # the P*C-channel tile temporary was the dominant batch>8 HBM
+        # allocation, and for packed->packed transitions (L0+L1 flagship,
+        # causal s2d_levels=all) the folded conv1 output joins the
+        # conv12-droppable save class (the 1.12 GB up_2 saves of the
+        # L0+L1@16 OOM, BENCH_NOTES round-4).
+        fuse_tile = self.up and f_out is not None
+        if fuse_tile:
+            x = repack_tile_compact(x, f_in, f_out)
+            h = repack_tile_compact(h, f_in, f_out)
         # downsampling out of the (2,2,2)-packed domain: the pool windows
         # coincide with the packing cells, so conv1/skip fold the phase_mean
         # into their kernels (packed_conv_pooled) — the pooled temporary and

@@ -192,9 +192,43 @@ def repack_tile(x: jax.Array, f_in: Optional[Factors], f_out: Optional[Factors])
     level-(i-1) domain (packing f_out)."""
     if f_in is None and f_out == F8:
         return phase_tile(x)  # fast path: tiling cells == packing cells
+    if f_out is not None:
+        return phase_tile(repack_tile_compact(x, f_in, f_out), f_out)
     full = depth_to_space(x, f_in) if f_in else x
-    up = _tile2(full)
-    return space_to_depth(up, f_out) if f_out else up
+    return _tile2(full)
+
+
+def _tile_axes(x: jax.Array, t: Tuple[int, int, int]) -> jax.Array:
+    """Nearest upsample of (B,Z,Y,X,C) by per-axis integer factors t
+    (broadcast + reshape, no gather)."""
+    b, z, y, w, c = x.shape
+    tz, ty, tx = t
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :, None, :], (b, z, tz, y, ty, w, tx, c)
+    )
+    return x.reshape(b, z * tz, y * ty, w * tx, c)
+
+
+def repack_tile_compact(
+    x: jax.Array, f_in: Optional[Factors], f_out: Factors
+) -> jax.Array:
+    """The compact pre-tile of a packed nearest-2x upsample.
+
+    Returns UNPACKED u on the f_out cell grid with
+      repack_tile(x, f_in, f_out) == phase_tile(u, f_out),
+    so a `packed_conv_tiled` over u replaces the conv over the full tile
+    (prod(f_out)-times fewer MACs, and the (…, P*C) tile temporary never
+    exists). Derivation: per axis, output cell i / phase a sits at full
+    coordinate f_out*i + a, and the x2-upsample reads full_in[(f_out*i+a)//2]
+    — independent of a for f_out∈{1,2}, equal to full_in[i] when f_out==2
+    and full_in[i//2] (a 2x tile of full_in) when f_out==1. Generalises the
+    fold-tile trick to packed->packed up transitions (L0+L1 flagship
+    packing, causal s2d_levels=all decoders)."""
+    full = depth_to_space(x, f_in) if f_in else x
+    t = tuple(2 // fo for fo in f_out)
+    if t == (1, 1, 1):
+        return full
+    return _tile_axes(full, t)
 
 
 @lru_cache(maxsize=None)

@@ -135,14 +135,19 @@ def bench_classifier(rng):
     cfg = common.load_config(None, "training_atten.json")
     model = classifier_task.build_model(cfg, in_channels=2, n_covariates=5, dtype=jnp.bfloat16)
     state = classifier_task.init_state(jax.random.key(0), model, (1, *VOL, 2), n_covariates=5)
+    # batch 32 = the measured amortisation optimum on v5e (probe_classifier_
+    # batch round-4: 16.6@4 / 53.9@8 / 55.1@16 / 57.7@32 vol/s/chip) — same
+    # optimum-batch discipline as the flagship line; the reference trains at
+    # batch 4 (train_atten_encoder_MCI.py:336). Env override for A/B probes.
+    b = int(os.environ.get("CIPS_BENCH_CLS_BATCH", "32"))
     batch = {
-        "imgs": _rand(rng, (4, *VOL, 2)),
-        "info": _rand(rng, (4, 1, 5)),
-        "labels": jnp.asarray([0, 1, 0, 1]),
+        "imgs": _rand(rng, (b, *VOL, 2)),
+        "info": _rand(rng, (b, 1, 5)),
+        "labels": jnp.asarray([0, 1] * (b // 2)),
     }
     step = jax.jit(classifier_task.make_train_step(model, use_tabular=True), donate_argnums=0)
     dt = _measure(step, state, (batch, jax.random.key(1)), lambda m: float(m["ce_loss"]))
-    return "mci_classifier_train_throughput", 4 / dt, 4.0
+    return "mci_classifier_train_throughput", b / dt, 4.0
 
 
 def main():

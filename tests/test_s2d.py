@@ -700,3 +700,31 @@ def test_gn_sum_pair_vreduce_equivalence(monkeypatch):
     v_vr, g_vr = run()
     np.testing.assert_allclose(float(v_plain), float(v_vr), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_vr), rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "f_in,f_out",
+    [
+        (None, (2, 2, 2)),
+        (None, (2, 2, 1)),
+        (None, (2, 1, 1)),
+        ((2, 2, 1), (2, 2, 2)),
+        ((2, 1, 1), (2, 2, 1)),
+        ((2, 1, 1), (2, 2, 2)),
+    ],
+)
+def test_repack_tile_compact_identity(f_in, f_out):
+    """repack_tile(x, f_in, f_out) == phase_tile(repack_tile_compact(...)):
+    the algebra that lets packed->packed up transitions fold their tile into
+    the conv kernel (all P phase blocks of the tile are identical)."""
+    from cips_tpu.ops.s2d import (
+        _s2d_reshape, _d2s_reshape, _tile2, phase_count, phase_tile, repack_tile_compact,
+    )
+
+    rng = np.random.default_rng(5)
+    shape = (2, 4, 6, 4, 8 if f_in is None else 4 * phase_count(f_in))
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    full = _d2s_reshape(x, f_in) if f_in else x
+    ref = _s2d_reshape(_tile2(full), f_out)
+    got = phase_tile(repack_tile_compact(x, f_in, f_out), f_out)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
