@@ -95,19 +95,25 @@ def _collective_bytes(compiled) -> int:
     import re
 
     total = 0
+    # HLO text: `%name = f32[1,2,9,5,64]{layout} collective-permute(...)` or
+    # tuple-shaped `= (f32[1,64]{1,0}, f32[1,64]{1,0}) all-reduce(...)` —
+    # the output shape(s) sit between `=` and the op name.
     pat = re.compile(
-        r"(bf16|f32|f16|u32|s32|pred)\[([\d,]*)\][^=]*= (all-reduce|all-gather|"
-        r"collective-permute|all-to-all|reduce-scatter)\("
+        r"= \(?(.*?) (?:all-reduce|all-gather|collective-permute|"
+        r"all-to-all|reduce-scatter)(?:-start)?\("
     )
+    shape = re.compile(r"(bf16|f32|f16|u32|s32|pred)\[([\d,]*)\]")
     width = {"bf16": 2, "f16": 2, "f32": 4, "u32": 4, "s32": 4, "pred": 1}
-    for mod in compiled.as_text().splitlines():
-        m = pat.search(mod)
-        if m:
-            dims = [int(d) for d in m.group(2).split(",") if d] or [1]
+    for line in compiled.as_text().splitlines():
+        m = pat.search(line)
+        if not m:
+            continue
+        for dt, dims_s in shape.findall(m.group(1)):
             n = 1
-            for d in dims:
-                n *= d
-            total += n * width[m.group(1)]
+            for d in dims_s.split(","):
+                if d:
+                    n *= int(d)
+            total += n * width[dt]
     return total
 
 

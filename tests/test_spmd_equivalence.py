@@ -57,3 +57,22 @@ def test_sharded_step_matches_single_device():
         float(jnp.max(jnp.abs(a - b))) for a, b in zip(flat1, flat2)
     )
     assert worst < 1e-4, f"params diverged by {worst}"
+
+
+def test_collective_bytes_parser():
+    """_collective_bytes reads current HLO text (shape AFTER '=', layout
+    braces, tuple-shaped all-reduce) — the round-4 full-volume dryrun
+    failed on the old pre-'=' pattern with payload 0."""
+    from cips_tpu.parallel.dryrun import _collective_bytes
+
+    class FakeCompiled:
+        def as_text(self):
+            return "\n".join([
+                "%collective-permute.1 = f32[1,2,9,5,64]{4,3,2,1,0} collective-permute(%convolution), channel_id=3",
+                "%all-reduce.474 = (f32[1,64]{1,0}, f32[1,64]{1,0}) all-reduce(%a, %b), channel_id=5",
+                "%all-gather = bf16[2,8]{1,0} all-gather(%x), dimensions={0}",
+                "%add = f32[4]{0} add(%p, %q)",  # not a collective
+            ])
+
+    want = (1 * 2 * 9 * 5 * 64) * 4 + 2 * (64 * 4) + (2 * 8) * 2
+    assert _collective_bytes(FakeCompiled()) == want
