@@ -29,8 +29,36 @@ from cips_tpu.models.blocks import (
     conv_save_policy,
 )
 from cips_tpu.models.discriminator import PatchDiscriminator, _InstanceNorm
-from cips_tpu.ops.s2d import auto_factor, depth_to_space, phase_count, space_to_depth
+from cips_tpu.ops.s2d import (
+    auto_factor,
+    conv_transpose_k4s2,
+    depth_to_space,
+    phase_count,
+    space_to_depth,
+)
 from jax.ad_checkpoint import checkpoint_name
+
+
+class _SubpixelTConv(nn.Module):
+    """nn.ConvTranspose(kernel=4, stride=2, SAME) with the SAME parameter
+    tree ('kernel' (4,4,4,Cin,Cout) + 'bias'), computed as a dense k-2 conv
+    + halo realign + depth_to_space (ops/s2d.conv_transpose_k4s2) — the
+    input-dilated k-4 lowering runs 64 taps over an 87.5%-zero input on the
+    MXU. Exact (bit-level vs nn.ConvTranspose, tests/test_s2d.py); 3-D only
+    (2-D callers keep nn.ConvTranspose)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (4, 4, 4, cin, self.features), jnp.float32
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = conv_transpose_k4s2(x.astype(self.dtype), w.astype(self.dtype))
+        return y + b.astype(y.dtype)
 
 
 def _conv(spatial_dims, features, kernel=3, stride=1, name=None, dtype=jnp.float32):
@@ -241,15 +269,18 @@ class DenseUNetGenerator(nn.Module):
         for i, c in enumerate(self.up_channels):
             # skip concat threads into the dense block as kernel-sliced parts
             h = self._dense(c, f"up_dense_{i}")((h, skips[-1 - i]))
-            h = nn.ConvTranspose(
-                c,
-                kernel_size=(4,) * sd,
-                strides=(2,) * sd,
-                padding="SAME",  # exact x2 doubling, == torch ConvTranspose(k4,s2,p1)
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name=f"up_tconv_{i}",
-            )(h)
+            if sd == 3:
+                h = _SubpixelTConv(c, dtype=self.dtype, name=f"up_tconv_{i}")(h)
+            else:
+                h = nn.ConvTranspose(
+                    c,
+                    kernel_size=(4,) * sd,
+                    strides=(2,) * sd,
+                    padding="SAME",  # exact x2 doubling, == torch ConvTranspose(k4,s2,p1)
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"up_tconv_{i}",
+                )(h)
             h = _InstanceNorm(name=f"up_norm_{i}")(h)
             h = nn.leaky_relu(h, 0.2)
 

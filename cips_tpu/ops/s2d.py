@@ -684,6 +684,39 @@ def packed_conv(x: jax.Array, w: jax.Array, stride: int = 1, f: Factors = F8) ->
     return packed_conv_dense(x, w, f)
 
 
+def tconv_k4s2_kernel(w: jax.Array) -> jax.Array:
+    """(4,4,4,Cin,Cout) ConvTranspose kernel -> (2,2,2,Cin,8*Cout) subpixel
+    kernel, phase-major output channels (p = (az*2+ay)*2+ax)."""
+    _, _, _, cin, cout = w.shape
+    w6 = w.reshape(2, 2, 2, 2, 2, 2, cin, cout)  # (dz,az,dy,ay,dx,ax,...)
+    wq = jnp.transpose(w6, (0, 2, 4, 6, 1, 3, 5, 7))
+    return wq.reshape(2, 2, 2, cin, 8 * cout)
+
+
+def conv_transpose_k4s2(x: jax.Array, w: jax.Array) -> jax.Array:
+    """`flax.linen.ConvTranspose(kernel=4, stride=2, padding=SAME)` as a
+    dense k-2 conv + halo realign + depth_to_space — never the input-dilated
+    k-4 lowering (64 taps over an 87.5%-zero dilated input on the MXU).
+
+    Per axis (matched empirically against nn.ConvTranspose, then exact by
+    the fractional-stride algebra): even outputs y[2j] = w0*x[j-1] + w2*x[j]
+    and odd outputs y[2j+1] = w1*x[j] + w3*x[j+1], so a VALID k-2 conv over
+    the (1,1)-padded input produces every output phase's value on the same
+    (Z+1,Y+1,X+1) halo grid as `packed_conv_halo`, phase p reading cell
+    j + p — exactly `_halo_realign`. Backward inherits the dense lowering
+    (dX is a k-2 transposed conv, dW a dense contraction).
+
+    x: (B,Z,Y,X,Cin) unpacked; w: (4,4,4,Cin,Cout); returns
+    (B,2Z,2Y,2X,Cout) == nn.ConvTranspose(...)(x) exactly."""
+    cout = w.shape[-1]
+    wq = tconv_k4s2_kernel(w.astype(x.dtype))
+    v = jax.lax.conv_general_dilated(
+        x, wq, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=_DN3D
+    )
+    y = _halo_realign(v, x.shape[1:4], cout, F8)
+    return depth_to_space(y, F8)
+
+
 def packed_conv_pooled(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
     """conv(phase_mean(x, f), w) WITHOUT materialising the pooled tensor.
 

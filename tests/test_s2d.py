@@ -728,3 +728,23 @@ def test_repack_tile_compact_identity(f_in, f_out):
     ref = _s2d_reshape(_tile2(full), f_out)
     got = phase_tile(repack_tile_compact(x, f_in, f_out), f_out)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_conv_transpose_k4s2_exact():
+    """conv_transpose_k4s2 == nn.ConvTranspose(k4, s2, SAME) bit-for-bit:
+    the subpixel decomposition (k2 conv + halo realign + d2s) that keeps
+    the BMGAN up path off the input-dilated k4 MXU lowering."""
+    import flax.linen as nn_
+
+    from cips_tpu.ops.s2d import conv_transpose_k4s2
+
+    rng = np.random.default_rng(1)
+    for cin, cout, shp in [(3, 5, (2, 4, 6, 4)), (8, 8, (1, 6, 4, 6))]:
+        x = jnp.asarray(rng.standard_normal((shp[0], *shp[1:], cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((4, 4, 4, cin, cout)) * 0.2, jnp.float32)
+        mod = nn_.ConvTranspose(
+            cout, kernel_size=(4, 4, 4), strides=(2, 2, 2), padding="SAME", use_bias=False
+        )
+        ref = mod.apply({"params": {"kernel": w}}, x)
+        got = conv_transpose_k4s2(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
