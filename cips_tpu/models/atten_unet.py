@@ -107,10 +107,14 @@ class AttenUNet(nn.Module):
         if self.s2d_factors is not None:
             fs = tuple(tuple(f) if f is not None else None for f in self.s2d_factors)
             return fs + (None,) * (n - len(fs))
-        # default: pack level 0 only. Level-1 (2,2,1) packing is exact and
-        # available via s2d_factors, but measured net-negative on v5e (the
-        # repack transitions cost more than the lane-density win —
-        # scripts/probe_l1_pack.py).
+        # default: pack level 0 at (2,2,2) and — since the fold-tile
+        # transition landed (ops/s2d.repack_tile_compact) — level 1 at
+        # (2,2,1) when it is attention-free and not the coarsest level:
+        # 16.75 vol/s/chip at the flagship batch-16 optimum vs 13.27 for
+        # L0-only on v5e (BENCH_NOTES round-4; pre-fold the L1 repack
+        # transitions measured net-negative, probe_l1_pack.py).
+        if n > 2 and not self.attention_levels[1]:
+            return (F8, (2, 2, 1)) + (None,) * (n - 2)
         return (F8,) + (None,) * (n - 1)
 
     @nn.compact

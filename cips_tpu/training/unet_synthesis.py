@@ -76,6 +76,10 @@ def build_models(
     # CIPS_S2D_FACTORS sweeps per-level packing without a config edit, e.g.
     # "222,221" packs level 0 at (2,2,2) and level 1 at (2,2,1); "0" skips a
     # level. Levels beyond the list stay unpacked (atten_unet.level_factors).
+    # Default (no env, no config key): atten_unet.level_factors packs L0 +
+    # an attention-free L1 — 16.75 vol/s/chip at the batch-16 optimum on v5e
+    # (BENCH_NOTES round-4). At batch <= 8 L0-only measures faster — set
+    # CIPS_S2D_FACTORS=222 there.
     sf = os.environ.get("CIPS_S2D_FACTORS")
     if sf and unet_def.get("s2d"):
         unet_def.setdefault(
