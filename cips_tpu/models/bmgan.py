@@ -30,6 +30,7 @@ from cips_tpu.models.blocks import (
 )
 from cips_tpu.models.discriminator import PatchDiscriminator, _InstanceNorm
 from cips_tpu.ops.s2d import (
+    _env_choice,
     auto_factor,
     conv_transpose_k4s2,
     depth_to_space,
@@ -37,6 +38,11 @@ from cips_tpu.ops.s2d import (
     space_to_depth,
 )
 from jax.ad_checkpoint import checkpoint_name
+
+# Up-path ConvTranspose lowering. "native" (default) is measured faster at
+# both BMGAN up shapes; "subpixel" keeps the exact dense-k2 formulation
+# available (probe_bmgan_segments A/B, BENCH_NOTES round 4).
+_TCONV_IMPL = _env_choice("CIPS_BMGAN_TCONV", "native", ("native", "subpixel"))
 
 
 class _SubpixelTConv(nn.Module):
@@ -269,7 +275,12 @@ class DenseUNetGenerator(nn.Module):
         for i, c in enumerate(self.up_channels):
             # skip concat threads into the dense block as kernel-sliced parts
             h = self._dense(c, f"up_dense_{i}")((h, skips[-1 - i]))
-            if sd == 3:
+            if sd == 3 and _TCONV_IMPL == "subpixel":
+                # measured SLOWER than XLA's native lowering at both up-path
+                # shapes (fwd 14.4 vs 10.1 ms, grad 26.8 vs 13.3 ms at /2,
+                # batch 1 — probe_bmgan_segments, BENCH_NOTES round 4):
+                # XLA already phase-decomposes the input-dilated k4s2; kept
+                # as an opt-in for future shape regimes.
                 h = _SubpixelTConv(c, dtype=self.dtype, name=f"up_tconv_{i}")(h)
             else:
                 h = nn.ConvTranspose(
