@@ -363,11 +363,16 @@ class PackedConv(nn.Module):
     pooled_input: bool = False  # input is the PACKED pre-pool of a 2x down
     # transition into the unpacked next level; phase_mean folds into the
     # kernel (ops/s2d.packed_conv_pooled) and the output is UNPACKED
+    strided_output: bool = False  # the conv is the ORIGINAL stride-2 k3
+    # conv: the packed input's cell grid IS the stride-2 output grid, so the
+    # output is UNPACKED with no realign (ops/s2d.packed_conv_strided) —
+    # serves strided ResidualUnits (BMGAN ResNet_encoder) in the s2d domain
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> jax.Array:
         assert not (self.tiled_input and self.pooled_input)
+        assert not (self.strided_output and (self.tiled_input or self.pooled_input))
         # A tuple input is the channel-concat of its parts: the kernel is
         # sliced along Cin and the partial convolutions summed — linearity
         # makes this exact, and the concat temporary never exists.
@@ -384,8 +389,15 @@ class PackedConv(nn.Module):
         # Halo formulation (CIPS_PACKED_CONV=halo, k=3 packed-output sites):
         # partial halo grids sum BEFORE the single realign fusion —
         # realignment commutes with the sum by linearity.
-        use_halo = not self.pooled_input and _s2d.packed_conv_uses_halo(k)
-        if use_halo:
+        use_halo = (
+            not self.pooled_input
+            and not self.strided_output
+            and _s2d.packed_conv_uses_halo(k)
+        )
+        if self.strided_output:
+            assert k == 3, "strided packed conv exists for k=3 only"
+            conv_fn = _s2d.packed_conv_strided
+        elif use_halo:
             conv_fn = (
                 (lambda x_, w_, f: _s2d.packed_conv_tiled_halo(x_, w_, f, realign=False))
                 if self.tiled_input
@@ -406,7 +418,7 @@ class PackedConv(nn.Module):
             off += ci
         if use_halo:
             y = _s2d.halo_realign(y, parts[0].shape[1:4], self.features, self.factors)
-        if self.pooled_input:  # unpacked output: plain bias
+        if self.pooled_input or self.strided_output:  # unpacked output: plain bias
             return y + b.astype(y.dtype)
         return y + jnp.tile(b.astype(y.dtype), p)
 

@@ -320,6 +320,44 @@ class DenseUNetGenerator(nn.Module):
         return jnp.tanh(h)
 
 
+class _PackedStridedResUnit(nn.Module):
+    """`_ResidualUnit(stride=2, subunits=2, act='prelu')` consuming an
+    f-packed input with the SAME parameter tree: the stride-2 convs (first
+    subunit + skip) run as `packed_conv_strided` — the stride-2 output grid
+    IS the packing cell grid, so the packed full-res tensor never unpacks
+    and the strided convs contract full 128-lane channels (the encoder's
+    full-res segments measured 10% MFU unpacked, probe_bmgan_enc_segments)."""
+
+    spatial_dims: int
+    features: int
+    factors: Tuple[int, int, int] = (2, 2, 2)
+    dtype: jnp.dtype = jnp.float32
+
+    def _prelu(self, x: jax.Array, i: int) -> jax.Array:
+        a = self.param(f"prelu_{i}", nn.initializers.constant(0.25), (1,), jnp.float32)
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+    @nn.compact
+    def __call__(self, xp: jax.Array) -> jax.Array:
+        assert self.spatial_dims == 3
+        h = PackedConv(
+            self.features, 3, factors=self.factors, strided_output=True,
+            dtype=self.dtype, name="conv",
+        )(xp)
+        h = checkpoint_name(h, CONV_SAVE_NAME)
+        h = _InstanceNorm(name="norm")(h)
+        h = self._prelu(h, 0)
+        h = _conv(3, self.features, 3, 1, "conv_1", self.dtype)(h)
+        h = checkpoint_name(h, CONV_SAVE_NAME)
+        h = _InstanceNorm(name="norm_1")(h)
+        h = self._prelu(h, 1)
+        x = PackedConv(
+            self.features, 3, factors=self.factors, strided_output=True,
+            dtype=self.dtype, name="skip",
+        )(xp)
+        return x + h
+
+
 class ResNetEncoder(nn.Module):
     """PET -> latent Gaussian (mu, log_var), each ``latent_dim``-dimensional."""
 
@@ -327,19 +365,38 @@ class ResNetEncoder(nn.Module):
     input_layer_channel: int = 32
     channels: Sequence[int] = (64, 128, 128, 128, 128, 128)
     latent_dim: int = 8
+    s2d: bool = True  # run the full-res stem + first strided unit in the
+    # space-to-depth domain ((2,2,2) -> full lanes); exact, same parameters
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         sd = self.spatial_dims
-        h = _conv(sd, self.input_layer_channel, 3, 1, "stem", self.dtype)(x)
-        h = _InstanceNorm(name="stem_norm")(h)
-        h = nn.relu(h)
-        for i, c in enumerate(self.channels):
+        use_s2d = (
+            self.s2d and sd == 3 and all(d % 2 == 0 for d in x.shape[1:4])
+        )
+        if use_s2d:
+            f = (2, 2, 2)
+            h = space_to_depth(x, f)
+            h = PackedConv(
+                self.input_layer_channel, 3, factors=f, dtype=self.dtype, name="stem"
+            )(h)
+            h = _InstanceNorm(phases=phase_count(f), name="stem_norm")(h)
+            h = nn.relu(h)
+            h = _PackedStridedResUnit(
+                sd, self.channels[0], factors=f, dtype=self.dtype, name="res_0"
+            )(h)
+            rest, offset = self.channels[1:], 1
+        else:
+            h = _conv(sd, self.input_layer_channel, 3, 1, "stem", self.dtype)(x)
+            h = _InstanceNorm(name="stem_norm")(h)
+            h = nn.relu(h)
+            rest, offset = self.channels, 0
+        for i, c in enumerate(rest):
             # reference: ResidualUnit(3, cur, c, strides=2, padding=1) with
             # MONAI defaults — subunits=2, PReLU act (bmgan_model.py:118)
             h = _ResidualUnit(
-                sd, c, stride=2, subunits=2, act="prelu", dtype=self.dtype, name=f"res_{i}"
+                sd, c, stride=2, subunits=2, act="prelu", dtype=self.dtype, name=f"res_{i + offset}"
             )(h)
         h = h.reshape(h.shape[0], -1)
         mu = nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32, name="mu")(h)

@@ -523,6 +523,66 @@ def _env_choice(name: str, default: str, allowed: Tuple[str, ...]) -> str:
     return v
 
 
+@lru_cache(maxsize=None)
+def _strided_onehot(f: Factors) -> np.ndarray:
+    """0/1 placement matrix (Kz*Ky*Kx*P, 27) for `pack_conv_kernel_strided`.
+
+    A stride-2 SAME k-3 conv's outputs sit on the packed CELL grid, so a
+    packed input needs no output phases at all: per packed axis (factor 2),
+    kernel tap a reading input phase q realises original-tap index
+    t = 2a + q - 1 (live iff 0 <= t <= 2; only (a=0,q=0) is dead). Unpacked
+    axes (factor 1) keep extent 3 with stride 2 and t = a. Every original
+    tap lands exactly once."""
+    ks = tuple(2 if ff == 2 else 3 for ff in f)
+    p = phase_count(f)
+    fz, fy, fx = f
+    phases = [(a, b, c) for a in range(fz) for b in range(fy) for c in range(fx)]
+    m = np.zeros((ks[0] * ks[1] * ks[2] * p, 27), np.float32)
+    for qi, qh in enumerate(phases):
+        for az in range(ks[0]):
+            for ay in range(ks[1]):
+                for ax in range(ks[2]):
+                    t = []
+                    for ff, qq, aa in zip(f, qh, (az, ay, ax)):
+                        t.append(2 * aa + qq - 1 if ff == 2 else aa)
+                    if all(0 <= ti <= 2 for ti in t):
+                        row = ((az * ks[1] + ay) * ks[2] + ax) * p + qi
+                        m[row, (t[0] * 3 + t[1]) * 3 + t[2]] = 1.0
+    return m
+
+
+def pack_conv_kernel_strided(w: jax.Array, f: Factors = F8) -> jax.Array:
+    """(3,3,3,Cin,Cout) -> (Kz,Ky,Kx,P*Cin,Cout) stride-2-absorbing kernel,
+    K = 2 on packed axes (3 on unpacked ones)."""
+    k, _, _, cin, cout = w.shape
+    assert k == 3, "strided packed conv exists for k=3 only"
+    p = phase_count(f)
+    ks = tuple(2 if ff == 2 else 3 for ff in f)
+    m = jnp.asarray(_strided_onehot(f), w.dtype)
+    big = (m @ w.reshape(27, cin * cout)).reshape(*ks, p, cin, cout)
+    return big.reshape(*ks, p * cin, cout)
+
+
+def packed_conv_strided(x: jax.Array, w: jax.Array, f: Factors = F8) -> jax.Array:
+    """Stride-2 SAME k-3 conv over the full grid, consuming the f-packed
+    input and producing the UNPACKED stride-2 output directly.
+
+    The stride-2 output grid coincides with the packing cell grid on packed
+    axes, so no output phases (and no realign) exist: ONE conv with extent-2
+    taps on packed axes (pad (1,0)) and extent-3 stride-2 taps on unpacked
+    ones (pad (1,1)). Exact == lax stride-2 conv on the unpacked input;
+    prod(K)/27 of the mathematical MACs' dense-scatter cost with full
+    128-lane contractions (2.37x-of-minimum at (2,2,2)) — the down-path
+    mirror of `packed_conv_halo`. Serves the BMGAN ResNet_encoder's strided
+    ResidualUnits (bmgan_model.py:118) in the s2d domain."""
+    wp = pack_conv_kernel_strided(w.astype(x.dtype), f)
+    strides = tuple(1 if ff == 2 else 2 for ff in f)
+    pads = [(1, 0) if ff == 2 else (1, 1) for ff in f]
+    return jax.lax.conv_general_dilated(
+        x, wp, strides, pads, dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    )
+
+
 # s2d/d2s boundary relayout: "conv" routes through the one-hot strided
 # conv / its transpose (layout change stays inside a conv lowering);
 # "reshape" is the 6-D reshape+transpose. Read once at import.

@@ -748,3 +748,66 @@ def test_conv_transpose_k4s2_exact():
         ref = mod.apply({"params": {"kernel": w}}, x)
         got = conv_transpose_k4s2(x, w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("f", [(2, 2, 2), (2, 2, 1), (2, 1, 1)])
+def test_packed_conv_strided_exact(f):
+    """packed_conv_strided(s2d(x)) == stride-2 SAME k-3 conv on x, values
+    and grads: the stride-2 output grid coincides with the packing cell
+    grid on packed axes (no output phases, no realign)."""
+    from cips_tpu.ops.s2d import packed_conv_strided
+
+    rng = np.random.default_rng(11)
+    cin, cout = 3, 4
+    x = jnp.asarray(rng.standard_normal((2, 4 * f[0], 6 * f[1], 4, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)), jnp.float32) * 0.2
+
+    def ref(x_, w_):
+        return jax.lax.conv_general_dilated(
+            x_, w_, (2, 2, 2), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    xp = space_to_depth(x, f)
+    got = packed_conv_strided(xp, w, f)
+    want = ref(x, w)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    gx_r, gw_r = jax.grad(lambda a, b: jnp.sum(jnp.sin(ref(a, b))), argnums=(0, 1))(x, w)
+    gx_s, gw_s = jax.grad(
+        lambda a, b: jnp.sum(jnp.sin(packed_conv_strided(space_to_depth(a, f), b, f))),
+        argnums=(0, 1),
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r), atol=2e-4)
+
+
+def test_resnet_encoder_s2d_equivalence():
+    """ResNetEncoder(s2d=True) == ResNetEncoder(s2d=False) on the SAME
+    parameters (the packed stem + strided res_0 share the unpacked tree),
+    values and parameter grads."""
+    from cips_tpu.models.bmgan import ResNetEncoder
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 8, 1)), jnp.float32)
+    kw = dict(input_layer_channel=4, channels=(6, 8), latent_dim=3)
+    enc_u = ResNetEncoder(s2d=False, **kw)
+    enc_p = ResNetEncoder(s2d=True, **kw)
+    params = enc_u.init(jax.random.key(0), x)
+    params_p = enc_p.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_p)
+
+    mu_u, lv_u = enc_u.apply(params, x)
+    mu_p, lv_p = enc_p.apply(params, x)
+    np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lv_p), np.asarray(lv_u), atol=1e-4)
+
+    def loss(mod, p_):
+        mu, lv = mod.apply(p_, x)
+        return jnp.sum(jnp.sin(mu)) + jnp.sum(jnp.cos(lv))
+
+    g_u = jax.grad(lambda p_: loss(enc_u, p_))(params)
+    g_p = jax.grad(lambda p_: loss(enc_p, p_))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_u), jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
