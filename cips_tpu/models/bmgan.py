@@ -252,13 +252,19 @@ class DenseUNetGenerator(nn.Module):
                 )(h)
                 h = _InstanceNorm(phases=p, name=f"stem_norm_{i}")(h)
                 h = nn.leaky_relu(h, 0.2)
-            h = depth_to_space(h, f)
+            # the stride-2 down conv absorbs the packing (its output grid is
+            # the /2 grid): the depth_to_space relayout never materialises
+            # and the contraction keeps full lanes (ops/s2d.packed_conv_strided)
+            h = PackedConv(
+                self.input_conv_channel, 3, factors=f, strided_output=True,
+                dtype=self.dtype, name="stem_down",
+            )(h)
         else:
             for i in range(2):
                 h = _conv(sd, self.input_conv_channel, 3, 1, f"stem_{i}", self.dtype)(h)
                 h = _InstanceNorm(name=f"stem_norm_{i}")(h)
                 h = nn.leaky_relu(h, 0.2)
-        h = _conv(sd, self.input_conv_channel, 3, 2, "stem_down", self.dtype)(h)
+            h = _conv(sd, self.input_conv_channel, 3, 2, "stem_down", self.dtype)(h)
         h = _InstanceNorm(name="stem_down_norm")(h)
         h = nn.leaky_relu(h, 0.2)
 

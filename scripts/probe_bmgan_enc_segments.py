@@ -67,10 +67,28 @@ class _Res(nn.Module):
         return _ResidualUnit(3, self.features, stride=2, subunits=2, act="prelu", dtype=DT)(x)
 
 
+class _PackedFront(nn.Module):
+    """stem + res_0 exactly as the s2d ResNetEncoder front end runs them."""
+
+    @nn.compact
+    def __call__(self, x):
+        from cips_tpu.models.blocks import PackedConv
+        from cips_tpu.models.bmgan import _PackedStridedResUnit
+        from cips_tpu.ops.s2d import phase_count, space_to_depth
+
+        f = (2, 2, 2)
+        h = space_to_depth(x, f)
+        h = PackedConv(32, 3, factors=f, dtype=DT, name="stem")(h)
+        h = _InstanceNorm(phases=phase_count(f), name="stem_norm")(h)
+        h = nn.relu(h)
+        return _PackedStridedResUnit(3, 64, factors=f, dtype=DT, name="res_0")(h)
+
+
 def main():
     V = (96, 128, 96)
     B = 2  # the E step batches [real; fake]
     print("== encoder segments (batch 2 = real+fake) ==", flush=True)
+    bench_module("packed stem+res_0 @ full->/2", _PackedFront(), (B, *V, 1))
     bench_module("stem 1->32 @ full res", _Stem(), (B, *V, 1))
     bench_module("res_0 32->64 s2 @ full->/2", _Res(64), (B, *V, 32))
     bench_module("res_1 64->128 s2 @ /2->/4", _Res(128), (B, 48, 64, 48, 64))
