@@ -373,6 +373,11 @@ class ResNetEncoder(nn.Module):
     latent_dim: int = 8
     s2d: bool = True  # run the full-res stem + first strided unit in the
     # space-to-depth domain ((2,2,2) -> full lanes); exact, same parameters
+    s2d_depth: int = 1  # how many strided res units consume a packed input
+    # (1 = res_0 only; 2 also re-packs the half-res 64-channel tensor at
+    # auto_factor(64)=(2,1,1) so res_1's strided convs contract 128 lanes).
+    # Exact, identical parameter tree either way; default measured on TPU
+    # (BENCH_NOTES round-5 encoder A/B).
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -393,6 +398,20 @@ class ResNetEncoder(nn.Module):
                 sd, self.channels[0], factors=f, dtype=self.dtype, name="res_0"
             )(h)
             rest, offset = self.channels[1:], 1
+            f1 = auto_factor(self.channels[0])
+            if (
+                self.s2d_depth >= 2
+                and len(self.channels) >= 2
+                and f1 is not None
+                # packed axes need d % f == 0 for the s2d; unpacked axes need
+                # even d for the clean stride-2 — both are "d even" (f <= 2)
+                and all(d % 2 == 0 for d in h.shape[1:4])
+            ):
+                h = space_to_depth(h, f1)
+                h = _PackedStridedResUnit(
+                    sd, self.channels[1], factors=f1, dtype=self.dtype, name="res_1"
+                )(h)
+                rest, offset = self.channels[2:], 2
         else:
             h = _conv(sd, self.input_layer_channel, 3, 1, "stem", self.dtype)(x)
             h = _InstanceNorm(name="stem_norm")(h)

@@ -33,6 +33,14 @@ def run(n_devices: int) -> None:
         f"need {n_devices} devices, have {len(jax.devices())}"
     )
     full = bool(os.environ.get("CIPS_DRYRUN_FULL"))
+    # CIPS_DRYRUN_TASK=causal runs the causal trio (encoder + dual decoders
+    # + D under one optimizer — the paper's core model and the heaviest
+    # collective profile) instead of the flagship GAN step; with
+    # CIPS_DRYRUN_FULL=1 this is the reproducible full-volume causal record
+    # (VERDICT round 4, #7).
+    if os.environ.get("CIPS_DRYRUN_TASK", "flagship") == "causal":
+        _run_causal(n_devices, full)
+        return
     if full:
         n_data = 2 if n_devices % 2 == 0 else 1
         n_space = n_devices // n_data
@@ -88,6 +96,90 @@ def run(n_devices: int) -> None:
     state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
     assert bool(jnp.isfinite(metrics["g_loss"])), "non-finite loss in dryrun"
+
+
+def _run_causal(n_devices: int, full: bool) -> None:
+    """One sharded causal-trio train step (data x space mesh).
+
+    Full mode uses the reference config (configs/training_causal.json) at
+    the (96,128,96) working volume, batch = n_data, and asserts the
+    compiled collective payload is sane; tiny mode validates compile+run
+    shape-generically. Matches
+    /root/reference/causal_synthesis/scripts/train_unify_causal_gen.py:119-125.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cips_tpu.cli import common
+    from cips_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from cips_tpu.training import causal_task
+
+    if full:
+        n_data = 2 if n_devices % 2 == 0 else 1
+        n_space = n_devices // n_data
+        cfg = common.load_config(None, "training_causal.json")
+        vol = (96, 128, 96)
+        dtype = jnp.bfloat16
+    else:
+        n_space = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+        n_data = n_devices // n_space
+        cfg = {
+            "t1_autoencoder_def": {
+                "atten_encoder": {
+                    "spatial_dims": 3, "in_channels": 1, "out_channels": 6,
+                    "num_channels": [8, 8], "num_res_blocks": 1,
+                    "attention_levels": [False, True], "norm_num_groups": 8,
+                    "resblock_updown": True, "num_head_channels": [0, 4],
+                    "with_conditioning": True, "transformer_num_layers": 1,
+                },
+                "decoder": {
+                    "spatial_dims": 3, "in_channels": 3, "out_channels": 1,
+                    "num_channels": [8, 8], "num_res_blocks": 1,
+                    "attention_levels": [False, False], "norm_num_groups": 8,
+                },
+            },
+            "pet_decoder_def": {
+                "spatial_dims": 3, "in_channels": 3, "out_channels": 1,
+                "num_channels": [8, 8], "num_res_blocks": 1,
+                "attention_levels": [False, False], "norm_num_groups": 8,
+                "num_head_channels": [0, 0], "with_conditioning": True,
+            },
+            "discriminator": {"num_channels": 8, "num_layers_d": 1},
+            "training": {"perceptual_weight": 0.02, "adv_weight": 0.005,
+                         "kl_weight": 0.001},
+        }
+        vol = (8, 16, 8)
+        dtype = jnp.float32
+    mesh = make_mesh(n_data=n_data, n_space=n_space)
+    n_cov = 5
+    train_cfg = cfg.get("training", cfg)
+    enc, t1_dec, pet_dec, disc, perc = causal_task.build_models(
+        cfg, n_covariates=n_cov, dtype=dtype
+    )
+    b = n_data
+    shape = (b, *vol, 1)
+    state = causal_task.init_state(
+        jax.random.key(0), enc, t1_dec, pet_dec, disc, perc, train_cfg,
+        (1, *vol, 1), n_covariates=n_cov,
+    )
+    state = replicate(mesh, state)
+    batch = {
+        "t1": jnp.ones(shape, dtype),
+        "pet": jnp.ones(shape, dtype) * 0.5,
+        "info": jnp.ones((b, 1, n_cov), dtype),
+    }
+    batch = shard_batch(mesh, batch, spatial_axis=1)
+    step = jax.jit(causal_task.make_train_step(enc, t1_dec, pet_dec, disc, perc, train_cfg))
+    rng = jax.random.key(1)
+    if full:
+        comp = step.lower(state, batch, rng).compile()
+        payload = _collective_bytes(comp)
+        print(f"full-volume causal dryrun: collective payload {payload / 1e6:.1f} MB/step")
+        if n_devices == 8:
+            assert 100e6 < payload < 4000e6, f"collective payload {payload} off-record"
+    state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics)
+    assert bool(jnp.isfinite(metrics["rec_pet_loss"])), "non-finite loss in causal dryrun"
 
 
 def _collective_bytes(compiled) -> int:

@@ -45,7 +45,11 @@ def build_models(dtype=jnp.bfloat16, latent_dim: int = 8, remat: bool = False,
                  remat_policy: str = "conv_all"):
     generator = DenseUNetGenerator(dtype=dtype, latent_dim=latent_dim, remat=remat,
                                    remat_policy=remat_policy)
-    encoder = ResNetEncoder(dtype=dtype, latent_dim=latent_dim)
+    # encoder packed-front depth: 1 = stem+res_0 (round-4 default); 2 also
+    # runs res_1 strided-packed at (2,1,1). Exact either way; default follows
+    # the TPU A/B in BENCH_NOTES round 5.
+    enc_depth = int(os.environ.get("CIPS_BMGAN_ENC_PACK", "1"))
+    encoder = ResNetEncoder(dtype=dtype, latent_dim=latent_dim, s2d_depth=enc_depth)
     discriminator = BMGANDiscriminator(dtype=dtype)
     # reference: PerceptualLoss(spatial_dims=3) with no network_type
     # (bl_methods/BMGAN/train_bmgan.py:73) -> the MONAI default, AlexNet LPIPS

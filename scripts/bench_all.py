@@ -153,7 +153,14 @@ def bench_classifier(rng):
 def main():
     rng = np.random.default_rng(0)
     rows = []
-    for fn in (bench_flagship, bench_bmgan, bench_causal, bench_classifier):
+    # CIPS_BENCH_ONLY=flagship|bmgan|causal|classifier runs a single
+    # workload (A/B probe queues); the full set is the default and the only
+    # mode that refreshes BENCH_WORKLOADS.json.
+    only = os.environ.get("CIPS_BENCH_ONLY", "")
+    fns = {"flagship": bench_flagship, "bmgan": bench_bmgan,
+           "causal": bench_causal, "classifier": bench_classifier}
+    selected = [fns[only]] if only else list(fns.values())
+    for fn in selected:
         metric, vps, anchor = fn(rng)
         per_chip = vps / jax.device_count()
         row = {
@@ -164,9 +171,10 @@ def main():
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_WORKLOADS.json")
-    with open(out, "w", encoding="utf-8") as f:
-        json.dump(rows, f, indent=1)
+    if not only:
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_WORKLOADS.json")
+        with open(out, "w", encoding="utf-8") as f:
+            json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":

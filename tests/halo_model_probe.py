@@ -21,8 +21,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# CIPS_PROBE_X64=1 runs the whole probe in float64: the packed-conv family
+# is algebraically exact, so impl-vs-dense drift that vanishes at f64
+# (rel <= ~1e-12) is f32 reassociation noise by construction, while a real
+# tap/realign bug survives the dtype change. Used by the gate's
+# noise-vs-bug calibration (VERDICT round 4, weak #1/#7).
+_X64 = os.environ.get("CIPS_PROBE_X64", "") == "1"
+if _X64:
+    jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
+
+_DTYPE = jnp.float64 if _X64 else jnp.float32
 
 
 def _perturb(params):
@@ -62,13 +73,16 @@ def main():
         with_conditioning=True,
         cross_attention_dim=5,
         s2d=True,
+        dtype=_DTYPE,
     )
-    x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), jnp.float32)
-    ctx = jnp.asarray(rng.standard_normal((1, 1, 5)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), _DTYPE)
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 5)), _DTYPE)
     params = unet.init(jax.random.key(0), x, ctx)
     # the output conv is zero-init — perturb every leaf deterministically so
     # the forward checksum actually covers the whole graph's values
     params = _perturb(params)
+    if _X64:
+        params = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
 
     def loss_u(p):
         return jnp.mean(jnp.abs(unet.apply(p, x, ctx)))
@@ -80,16 +94,36 @@ def main():
     # [128,256,256,512] stack takes minutes per CPU subprocess) ---
     from cips_tpu.models.bmgan import DenseUNetGenerator
 
-    g = DenseUNetGenerator(down_channels=(8, 16, 16, 32), dtype=jnp.float32)
-    t1 = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), jnp.float32)
-    z = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32)
+    g = DenseUNetGenerator(down_channels=(8, 16, 16, 32), dtype=_DTYPE)
+    t1 = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), _DTYPE)
+    z = jnp.asarray(rng.standard_normal((1, 8)), _DTYPE)
     gp = g.init(jax.random.key(1), t1, z)
+    if _X64:
+        gp = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), gp)
 
     def loss_g(p):
         return jnp.mean(jnp.abs(g.apply(p, t1, z)))
 
     out, grads = jax.value_and_grad(loss_g)(gp)
     res.update(_checksums("bmgan_g", out, grads))
+
+    # --- BMGAN ResNet encoder: covers the packed stem + strided packed
+    # res-unit front end (ops/s2d.packed_conv_strided), which are
+    # production-default in every BMGAN train step (VERDICT round 4 #5) ---
+    from cips_tpu.models.bmgan import ResNetEncoder
+
+    e = ResNetEncoder(channels=(16, 16, 16), input_layer_channel=8, dtype=_DTYPE)
+    pet = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), _DTYPE)
+    ep = e.init(jax.random.key(2), pet)
+    if _X64:
+        ep = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), ep)
+
+    def loss_e(p):
+        mu, log_var = e.apply(p, pet)
+        return jnp.mean(jnp.abs(mu)) + jnp.mean(jnp.abs(log_var))
+
+    out, grads = jax.value_and_grad(loss_e)(ep)
+    res.update(_checksums("bmgan_e", out, grads))
 
     print(json.dumps(res))
 

@@ -783,17 +783,19 @@ def test_packed_conv_strided_exact(f):
     np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r), atol=2e-4)
 
 
-def test_resnet_encoder_s2d_equivalence():
+@pytest.mark.parametrize("s2d_depth", [1, 2])
+def test_resnet_encoder_s2d_equivalence(s2d_depth):
     """ResNetEncoder(s2d=True) == ResNetEncoder(s2d=False) on the SAME
-    parameters (the packed stem + strided res_0 share the unpacked tree),
-    values and parameter grads."""
+    parameters (the packed stem + strided res_0 — and at depth 2 the
+    (2,2,2)-repacked strided res_1 — share the unpacked tree), values and
+    parameter grads."""
     from cips_tpu.models.bmgan import ResNetEncoder
 
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((2, 8, 12, 8, 1)), jnp.float32)
     kw = dict(input_layer_channel=4, channels=(6, 8), latent_dim=3)
     enc_u = ResNetEncoder(s2d=False, **kw)
-    enc_p = ResNetEncoder(s2d=True, **kw)
+    enc_p = ResNetEncoder(s2d=True, s2d_depth=s2d_depth, **kw)
     params = enc_u.init(jax.random.key(0), x)
     params_p = enc_p.init(jax.random.key(0), x)
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_p)
