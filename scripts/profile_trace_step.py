@@ -44,7 +44,9 @@ def main():
         "pet": jnp.asarray(rng.random(shape, np.float32), jnp.bfloat16),
         "info": jnp.asarray(rng.random((batch, 1, N_COVARIATES), np.float32), jnp.bfloat16),
     }
-    step = jax.jit(make_train_step(g, d, p, TRAIN_CFG), donate_argnums=0)
+    # split_d=True matches the bench configuration (bench_all.bench_flagship)
+    # — without it the concat'd D pass OOMs at batch 16 L0+L1
+    step = jax.jit(make_train_step(g, d, p, TRAIN_CFG, split_d=True), donate_argnums=0)
     state, metrics = step(state, batch_data)
     float(metrics["g_loss"])
     state, metrics = step(state, batch_data)

@@ -54,6 +54,13 @@ def _checksums(name, out, grads):
 
 
 def main():
+    import time
+
+    t0 = time.time()
+
+    def _mark(stage):
+        print(f"[probe] {stage} at {time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+
     rng = np.random.default_rng(0)
     res = {}
 
@@ -89,12 +96,23 @@ def main():
 
     out, grads = jax.value_and_grad(loss_u)(params)
     res.update(_checksums("atten_unet", out, grads))
+    _mark("atten_unet")
 
     # --- BMGAN dense-UNet generator (toy channels: the reference-sized
     # [128,256,256,512] stack takes minutes per CPU subprocess) ---
     from cips_tpu.models.bmgan import DenseUNetGenerator
 
-    g = DenseUNetGenerator(down_channels=(8, 16, 16, 32), dtype=_DTYPE)
+    # toy widths EVERYWHERE: the default up/middle channels are the
+    # production 512/256-wide stack, which made the f64 probe variant time
+    # out on the single-core CI box (round-5 gate redesign log)
+    g = DenseUNetGenerator(
+        down_channels=(8, 16, 16, 32),
+        middle_channels=32,
+        up_channels=(32, 16, 16, 16, 8),
+        input_conv_channel=8,
+        output_conv_channel=8,
+        dtype=_DTYPE,
+    )
     t1 = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), _DTYPE)
     z = jnp.asarray(rng.standard_normal((1, 8)), _DTYPE)
     gp = g.init(jax.random.key(1), t1, z)
@@ -106,13 +124,19 @@ def main():
 
     out, grads = jax.value_and_grad(loss_g)(gp)
     res.update(_checksums("bmgan_g", out, grads))
+    _mark("bmgan_g")
 
     # --- BMGAN ResNet encoder: covers the packed stem + strided packed
     # res-unit front end (ops/s2d.packed_conv_strided), which are
     # production-default in every BMGAN train step (VERDICT round 4 #5) ---
     from cips_tpu.models.bmgan import ResNetEncoder
 
-    e = ResNetEncoder(channels=(16, 16, 16), input_layer_channel=8, dtype=_DTYPE)
+    # s2d_depth=2 gates the deeper packed front end (re-packed strided
+    # res_1) alongside the depth-1 production default — both share the
+    # unpacked parameter tree, so one probe covers the candidate flip
+    e = ResNetEncoder(
+        channels=(16, 16, 16), input_layer_channel=8, s2d_depth=2, dtype=_DTYPE
+    )
     pet = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), _DTYPE)
     ep = e.init(jax.random.key(2), pet)
     if _X64:
@@ -124,6 +148,7 @@ def main():
 
     out, grads = jax.value_and_grad(loss_e)(ep)
     res.update(_checksums("bmgan_e", out, grads))
+    _mark("bmgan_e")
 
     print(json.dumps(res))
 
