@@ -373,11 +373,12 @@ class ResNetEncoder(nn.Module):
     latent_dim: int = 8
     s2d: bool = True  # run the full-res stem + first strided unit in the
     # space-to-depth domain ((2,2,2) -> full lanes); exact, same parameters
-    s2d_depth: int = 1  # how many strided res units consume a packed input
+    s2d_depth: int = 2  # how many strided res units consume a packed input
     # (1 = res_0 only; 2 also re-packs the half-res 64-channel tensor at
     # auto_factor(64)=(2,1,1) so res_1's strided convs contract 128 lanes).
     # Exact, identical parameter tree either way; default measured on TPU
-    # (BENCH_NOTES round-5 encoder A/B).
+    # (BENCH_NOTES round-5 encoder A/B: depth 2 3.378 vs depth 1 3.246 vs
+    # unpacked 3.258 vol/s/chip — depth 1 is ~neutral, depth 2 is the win).
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

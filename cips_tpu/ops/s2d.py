@@ -177,13 +177,51 @@ def _tile2(x: jax.Array) -> jax.Array:
     return x.reshape(b, *(2 * s for s in spatial), c)
 
 
+def repack_pool_compact(x: jax.Array, f_in: Factors) -> jax.Array:
+    """2x average-pool of the full grid, consuming the f_in-packed input and
+    producing the UNPACKED pooled (half-res) tensor WITHOUT materialising the
+    full grid.
+
+    Per axis with full coordinate fz*i + a: when fz == 2 the pool window
+    {2j, 2j+1} is exactly cell j's phase pair -> mean over the phase axis;
+    when fz == 1 the window is the adjacent cell pair {2j, 2j+1} -> pairwise
+    spatial mean. Exact == _pool2(depth_to_space(x, f_in)); the full-grid
+    temporary (e.g. 2x the packed bytes at (2,2,2), the dominant allocation
+    of the old repack_pool on packed->packed down transitions) never exists."""
+    b, z, y, w, pc = x.shape
+    p = phase_count(f_in)
+    c = pc // p
+    fz, fy, fx = f_in
+    v = x.reshape(b, z, y, w, fz, fy, fx, c)
+    phase_axes = tuple(ax for ax, ff in zip((4, 5, 6), f_in) if ff == 2)
+    if phase_axes:
+        v = v.mean(axis=phase_axes, keepdims=True)
+    v = v.reshape(b, z, y, w, c)
+    shape: list = [b]
+    red = []
+    for s, ff in zip((z, y, w), f_in):
+        if ff == 1:
+            shape += [s // 2, 2]
+            red.append(len(shape) - 1)
+        else:
+            shape.append(s)
+    shape.append(c)
+    if red:
+        v = v.reshape(*shape).mean(axis=tuple(red))
+    return v
+
+
 def repack_pool(x: jax.Array, f_in: Optional[Factors], f_out: Optional[Factors]) -> jax.Array:
     """2x average-pool a level-i tensor (packing f_in) into the level-(i+1)
     domain (packing f_out). Exact == avg_pool_2x on the full grids."""
     if f_in == F8 and f_out is None:
         return phase_mean(x)  # fast path: pooling windows == packing cells
-    full = depth_to_space(x, f_in) if f_in else x
-    pooled = _pool2(full)
+    if f_in is not None:
+        # compact path: pool in the packed domain (phase means + pairwise
+        # cell means), never touching the full grid
+        pooled = repack_pool_compact(x, f_in)
+        return space_to_depth(pooled, f_out) if f_out else pooled
+    pooled = _pool2(x)
     return space_to_depth(pooled, f_out) if f_out else pooled
 
 

@@ -47,8 +47,8 @@ def build_models(dtype=jnp.bfloat16, latent_dim: int = 8, remat: bool = False,
                                    remat_policy=remat_policy)
     # encoder packed-front depth: 1 = stem+res_0 (round-4 default); 2 also
     # runs res_1 strided-packed at (2,1,1). Exact either way; default follows
-    # the TPU A/B in BENCH_NOTES round 5.
-    enc_depth = int(os.environ.get("CIPS_BMGAN_ENC_PACK", "1"))
+    # the TPU A/B in BENCH_NOTES round 5 (depth 2: 3.378 vs 3.246/3.258).
+    enc_depth = int(os.environ.get("CIPS_BMGAN_ENC_PACK", "2"))
     encoder = ResNetEncoder(dtype=dtype, latent_dim=latent_dim, s2d_depth=enc_depth)
     discriminator = BMGANDiscriminator(dtype=dtype)
     # reference: PerceptualLoss(spatial_dims=3) with no network_type

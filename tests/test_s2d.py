@@ -253,8 +253,8 @@ def test_packed_conv_exact_anisotropic(f, k):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("f_in", [None, (2, 2, 2), (2, 2, 1)])
-@pytest.mark.parametrize("f_out", [None, (2, 2, 2), (2, 2, 1)])
+@pytest.mark.parametrize("f_in", [None, (2, 2, 2), (2, 2, 1), (2, 1, 1), (1, 1, 2)])
+@pytest.mark.parametrize("f_out", [None, (2, 2, 2), (2, 2, 1), (2, 1, 1)])
 def test_repack_pool_tile_exact(f_in, f_out):
     """repack_pool == avg-pool 2x and repack_tile == nearest 2x on the full
     grids, for every packing combination of source and destination levels."""
@@ -274,6 +274,22 @@ def test_repack_pool_tile_exact(f_in, f_out):
         want_tile = jnp.repeat(want_tile, 2, axis=axis)
     got_tile = depth_to_space(tiled, f_out) if f_out else tiled
     np.testing.assert_allclose(np.asarray(got_tile), np.asarray(want_tile), atol=1e-6)
+
+
+@pytest.mark.parametrize("f_in", [(2, 2, 2), (2, 2, 1), (2, 1, 1), (1, 2, 1)])
+def test_repack_pool_compact_exact(f_in):
+    """repack_pool_compact == _pool2(depth_to_space(x)) — the packed-domain
+    pool (phase means + pairwise cell means) never touches the full grid."""
+    from cips_tpu.ops.s2d import repack_pool_compact
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, 4, 8, 3)), jnp.float32)
+    xp = space_to_depth(x, f_in)
+    import flax.linen as nn
+
+    want = nn.avg_pool(x, (2, 2, 2), (2, 2, 2))
+    got = repack_pool_compact(xp, f_in)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
 def test_atten_unet_two_level_s2d_equivalence():
