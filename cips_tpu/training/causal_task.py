@@ -59,8 +59,16 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
     # the causal trio is mostly UNPACKED, where the "conv" policy saves
     # nothing and the backward re-ran whole blocks (measured grads at
     # 3.9-4.9x fwd); "conv_all" saves the padded unpacked conv outputs too
-    # — batch-1/2 HBM affords it (scripts/probe_causal_parts.py)
-    enc_def.setdefault("remat_policy", "conv_all")
+    # — batch-1/2 HBM affords it (scripts/probe_causal_parts.py).
+    # CIPS_CAUSAL_POLICY=enc:POL[,t1:POL][,pet:POL] overrides per model for
+    # fit/speed A/Bs (batch 4 is 210 MB over with conv_all everywhere; the
+    # encoder's four 576 MB L0 saves are the marginal class — queue_r5 B1).
+    pol = dict(
+        kv.split(":", 1)  # type: ignore[misc]
+        for kv in os.environ.get("CIPS_CAUSAL_POLICY", "").split(",")
+        if ":" in kv
+    )
+    enc_def.setdefault("remat_policy", pol.get("enc", "conv_all"))
     # (2,1,1) packing makes the 64-channel full-resolution level exactly
     # 128 lanes (auto_factor)
     enc_def.setdefault("s2d", enc_def.get("spatial_dims", 3) == 3
@@ -71,7 +79,7 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
 
     t1_dec_def = dict(model_cfg["t1_autoencoder_def"]["decoder"])
     t1_dec_def.setdefault("remat", remat)
-    t1_dec_def.setdefault("remat_policy", "conv_all")
+    t1_dec_def.setdefault("remat_policy", pol.get("t1", "conv_all"))
     # the finest level packs with its auto factor (32ch -> (2,2,1)): the
     # round-1 8x-dense loss at 32 channels is gone with anisotropic factors
     # — measured 1.26 vol/s (batch 1) == unpacked, and batch 2 fits HBM
@@ -88,7 +96,7 @@ def build_models(model_cfg: Mapping[str, Any], n_covariates: int, dtype=jnp.bflo
     pet_def = dict(model_cfg["pet_decoder_def"])
     pet_def["cross_attention_dim"] = max(n_covariates, 1)
     pet_def.setdefault("remat", remat)
-    pet_def.setdefault("remat_policy", "conv_all")
+    pet_def.setdefault("remat_policy", pol.get("pet", "conv_all"))
     pet_def.setdefault("s2d", pet_def.get("spatial_dims", 3) == 3
                        and len(pet_def.get("num_channels", [])) >= 2
                        and not list(pet_def.get("attention_levels", [True]))[-1]
