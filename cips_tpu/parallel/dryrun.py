@@ -115,7 +115,14 @@ def _run_causal(n_devices: int, full: bool) -> None:
     from cips_tpu.training import causal_task
 
     if full:
-        n_data = 2 if n_devices % 2 == 0 else 1
+        # CIPS_DRYRUN_DATA=1 runs data=1 x space=n: the full-volume causal
+        # trio at batch 2 needs >125 GB host RSS under 8-device CPU
+        # emulation (OOM-killed, round-5 session-2); batch 1 with the full
+        # 8-way spatial sharding still exercises the heavier causal
+        # collective profile.
+        import os as _os
+
+        n_data = int(_os.environ.get("CIPS_DRYRUN_DATA", "2" if n_devices % 2 == 0 else "1"))
         n_space = n_devices // n_data
         cfg = common.load_config(None, "training_causal.json")
         vol = (96, 128, 96)
