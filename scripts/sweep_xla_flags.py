@@ -53,7 +53,7 @@ def main():
         "info": jnp.asarray(rng.random((batch, 1, N_COVARIATES), np.float32), jnp.bfloat16),
     }
     step = make_train_step(g, d, p, TRAIN_CFG, split_d=True)
-    lowered = jax.jit(step).lower(state, batch_data)
+    lowered = jax.jit(step, donate_argnums=0).lower(state, batch_data)
 
     # default (16 MiB) first as the in-run control, then larger scoped-vmem
     # budgets: more VMEM per fusion lets Mosaic keep bigger conv tiles
@@ -66,12 +66,12 @@ def main():
             t0 = time.perf_counter()
             ex = lowered.compile(compiler_options=opts)
             ct = time.perf_counter() - t0
-            new_state, m = ex(state, batch_data)
+            state, m = ex(state, batch_data)
             float(m["g_loss"])
             t0 = time.perf_counter()
             n = 4
             for _ in range(n):
-                _, m = ex(state, batch_data)
+                state, m = ex(state, batch_data)
             float(m["g_loss"])
             dt = (time.perf_counter() - t0) / n
             print(
