@@ -273,3 +273,18 @@ def test_d_remat_equivalence():
                       float(jax.tree_util.tree_reduce(
                           lambda a, b: a + jnp.sum(jnp.abs(b).astype(jnp.float64)), state.gen.params, 0.0))))
     np.testing.assert_allclose(couts[0], couts[1], rtol=1e-6)
+
+
+def test_causal_policy_env_override(monkeypatch):
+    """CIPS_CAUSAL_POLICY=enc:POL[,t1:POL][,pet:POL] sets per-model remat
+    policies (the batch-4 fit A/B knob, BENCH_NOTES round-5); unset models
+    keep the conv_all default, and malformed entries are ignored."""
+    monkeypatch.setenv("CIPS_CAUSAL_POLICY", "enc:conv2,pet:conv12,garbage")
+    enc, t1_dec, pet_dec, *_ = causal_task.build_models(CAUSAL_CFG, n_covariates=4)
+    assert enc.remat_policy == "conv2"
+    assert t1_dec.remat_policy == "conv_all"
+    assert pet_dec.remat_policy == "conv12"
+
+    monkeypatch.delenv("CIPS_CAUSAL_POLICY")
+    enc, t1_dec, pet_dec, *_ = causal_task.build_models(CAUSAL_CFG, n_covariates=4)
+    assert enc.remat_policy == t1_dec.remat_policy == pet_dec.remat_policy == "conv_all"
